@@ -1,0 +1,133 @@
+"""Trivially-correct NumPy edit-distance oracle for tests.
+
+Stand-in for the reference's `triple_accel::levenshtein_exp` oracle
+(`pa-test/src/lib.rs:74`): a plain O(nm) row-DP Levenshtein, vectorized with
+NumPy, plus a band-doubled variant for longer sequences.  Also provides an
+oracle alignment (cost + CIGAR) via full DP + traceback for small inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .types import Cigar, CigarOp, Pos, seq_to_codes
+
+
+def levenshtein(a: bytes, b: bytes) -> int:
+    """Exact edit distance, O(nm) vectorized row DP."""
+    ca, cb = seq_to_codes(a), seq_to_codes(b)
+    n, m = len(ca), len(cb)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    # prev[j] = D[i][j] for j in 0..m
+    prev = np.arange(m + 1, dtype=np.int32)
+    for i in range(1, n + 1):
+        sub = prev[:-1] + (cb != ca[i - 1])
+        # cur[j] = min(prev[j] + 1, sub[j-1], cur[j-1] + 1)
+        cur = np.minimum(prev[1:] + 1, sub)
+        # Prefix-min for the insertion dependency (cur[j-1] + 1):
+        # cur[j] = min over k<=j of cur_nolocal[k] + (j - k); computed via
+        # running minimum of cur[k] - k.
+        run = np.minimum.accumulate(cur - np.arange(m, dtype=np.int32))
+        cur = np.minimum(cur, run + np.arange(m, dtype=np.int32))
+        cur = np.minimum(cur, i + 1 + np.arange(m, dtype=np.int32))  # from col 0
+        prev = np.concatenate(([np.int32(i)], cur))
+    return int(prev[-1])
+
+
+def levenshtein_exp(a: bytes, b: bytes) -> int:
+    """Exact edit distance with band doubling (fast for similar pairs)."""
+    ca, cb = seq_to_codes(a), seq_to_codes(b)
+    n, m = len(ca), len(cb)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    INF = np.int32(1 << 28)
+    band = max(8, abs(n - m) + 1)
+    while True:
+        # D over rows i with |j - i*m/n|-ish band around the main diagonal;
+        # simpler: full j-range but clip by threshold band around diagonal.
+        prev = np.where(np.arange(m + 1) <= band, np.arange(m + 1), INF).astype(np.int32)
+        for i in range(1, n + 1):
+            sub = prev[:-1] + (cb != ca[i - 1])
+            cur = np.minimum(prev[1:] + 1, sub)
+            run = np.minimum.accumulate(
+                np.where(cur < INF, cur, INF) - np.arange(m, dtype=np.int32)
+            )
+            cur = np.minimum(cur, run + np.arange(m, dtype=np.int32))
+            first = np.int32(i) if i <= band else INF
+            cur = np.minimum(cur, first + 1 + np.arange(m, dtype=np.int32))
+            # Mask out-of-band cells.
+            j = np.arange(1, m + 1)
+            out = np.abs(j - i) > band
+            cur = np.where(out, INF, cur)
+            prev = np.concatenate(([first], cur))
+        d = int(prev[-1])
+        if d <= band:
+            return d
+        band *= 2
+
+
+def align(a: bytes, b: bytes) -> tuple[int, Cigar]:
+    """Full-DP alignment with the reference traceback preference order.
+
+    Tie-break order matches `astarpa2/src/blocks/trace.rs:145-227`:
+    greedy match first, then Ins (vertical), then Del (horizontal), then Sub.
+    """
+    ca, cb = seq_to_codes(a), seq_to_codes(b)
+    n, m = len(ca), len(cb)
+    D = np.zeros((n + 1, m + 1), dtype=np.int32)
+    D[:, 0] = np.arange(n + 1)
+    D[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        sub = D[i - 1, :-1] + (cb != ca[i - 1])
+        cur = np.minimum(D[i - 1, 1:] + 1, sub)
+        run = np.minimum.accumulate(cur - np.arange(m, dtype=np.int32))
+        cur = np.minimum(cur, run + np.arange(m, dtype=np.int32))
+        cur = np.minimum(cur, i + 1 + np.arange(m, dtype=np.int32))
+        D[i, 1:] = cur
+
+    # Traceback with reference tie-break order.
+    ops: list[CigarOp] = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        # Greedy match.
+        if i > 0 and j > 0 and ca[i - 1] == cb[j - 1] and D[i, j] == D[i - 1, j - 1]:
+            ops.append(CigarOp.MATCH)
+            i -= 1
+            j -= 1
+        elif j > 0 and D[i, j] == D[i, j - 1] + 1:
+            ops.append(CigarOp.INS)
+            j -= 1
+        elif i > 0 and D[i, j] == D[i - 1, j] + 1:
+            ops.append(CigarOp.DEL)
+            i -= 1
+        else:
+            assert i > 0 and j > 0 and D[i, j] == D[i - 1, j - 1] + 1
+            ops.append(CigarOp.SUB)
+            i -= 1
+            j -= 1
+    cigar = Cigar()
+    for op in reversed(ops):
+        cigar.push(op)
+    return int(D[n, m]), cigar
+
+
+def dp_matrix(a: bytes, b: bytes) -> np.ndarray:
+    """The full (n+1) x (m+1) unit-cost DP matrix (for kernel self-checks)."""
+    ca, cb = seq_to_codes(a), seq_to_codes(b)
+    n, m = len(ca), len(cb)
+    D = np.zeros((n + 1, m + 1), dtype=np.int32)
+    D[:, 0] = np.arange(n + 1)
+    D[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        sub = D[i - 1, :-1] + (cb != ca[i - 1])
+        cur = np.minimum(D[i - 1, 1:] + 1, sub)
+        run = np.minimum.accumulate(cur - np.arange(m, dtype=np.int32))
+        cur = np.minimum(cur, run + np.arange(m, dtype=np.int32))
+        cur = np.minimum(cur, i + 1 + np.arange(m, dtype=np.int32))
+        D[i, 1:] = cur
+    return D
