@@ -1,0 +1,388 @@
+"""The block band-doubling aligner driver (A*PA2 re-design).
+
+Host-side orchestration mirroring `astarpa2/src/domain.rs` and
+`astarpa2/src/lib.rs`: per 256-column block, compute the row range to fill
+(`j_range`), run the bitpacked kernel on device, compute the range of rows
+proven optimal (`fixed_j_range`), prune matches in it, and retry with a
+doubled threshold when the band was too narrow.  The device never sees
+data-dependent shapes; blocks are shape-bucketed in
+:mod:`astarpa_tpu.ops.block_kernel`.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+
+from ..types import Cigar, Pos, seq_to_codes
+from ..ops import bitpack
+from ..ops.bitpack import W
+from ..ops.block_kernel import BlockKernel
+from ..heuristic.distances import GapCost, NoCost
+from . import band
+from .band import DoublingStart, DoublingType
+from .block import Block, Blocks, intersection, is_empty, round_in, round_out, union
+from .trace import trace as trace_path
+
+
+def _div_ceil(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class Domain(enum.Enum):
+    """Computational domain (mirror of `params.rs:231-242`)."""
+
+    FULL = "full"
+    GAP_START = "gap-start"
+    GAP_GAP = "gap-gap"
+    ASTAR = "astar"
+
+
+@dataclass
+class AstarPa2Stats:
+    f_max_tries: int = 0
+    num_blocks: int = 0
+    computed_lanes: int = 0
+    h_calls: int = 0
+
+
+@dataclass(frozen=True)
+class AstarPa2Params:
+    """Flat parameters (mirror of `params.rs:10-132`)."""
+
+    name: str = "simple"
+    domain: Domain = Domain.ASTAR
+    heuristic: object = None  # a factory with .build(a, b) -> instance
+    doubling: DoublingType = field(default_factory=lambda: DoublingType.band_doubling())
+    block_width: int = 256
+    incremental_doubling: bool = False
+    dt_trace: bool = False
+    max_g: int = 40
+    fr_drop: int = 10
+    sparse_h: bool = False
+    prune: bool = False
+
+    @staticmethod
+    def nw() -> "AstarPa2Params":
+        """Full n*m computation (`params.rs:44-68`)."""
+        return AstarPa2Params(
+            name="nw",
+            domain=Domain.FULL,
+            heuristic=None,
+            doubling=DoublingType.none(),
+            incremental_doubling=False,
+            dt_trace=False,
+        )
+
+    @staticmethod
+    def simple() -> "AstarPa2Params":
+        """Gap heuristic + band doubling, no pruning (`params.rs:70-96`)."""
+        return AstarPa2Params(
+            name="simple",
+            domain=Domain.ASTAR,
+            heuristic=GapCost(),
+            doubling=DoublingType.band_doubling(DoublingStart.H0, 2.0),
+            incremental_doubling=False,
+            dt_trace=True,
+            max_g=40,
+            fr_drop=10,
+            sparse_h=True,
+            prune=False,
+        )
+
+    @staticmethod
+    def full() -> "AstarPa2Params":
+        """GCSH k=12 r=1 p=14 + pruning + incremental doubling
+        (`params.rs:98-128`)."""
+        from ..heuristic.csh import GCSH
+        from ..heuristic.matches import MatchConfig
+        from ..heuristic.prune import Pruning, Prune
+
+        return AstarPa2Params(
+            name="full",
+            domain=Domain.ASTAR,
+            heuristic=GCSH(MatchConfig(k=12, r=1, local_pruning=14), Pruning(Prune.START)),
+            doubling=DoublingType.band_doubling(DoublingStart.H0, 2.0),
+            incremental_doubling=True,
+            dt_trace=True,
+            max_g=40,
+            fr_drop=10,
+            sparse_h=True,
+            prune=True,
+        )
+
+    def make_aligner(self, trace: bool = True) -> "AstarPa2":
+        return AstarPa2(self, trace)
+
+
+class AstarPa2Instance:
+    """One (a, b) alignment instance (mirror of `domain.rs:45-62`)."""
+
+    def __init__(self, a: bytes, b: bytes, params: AstarPa2Params):
+        self.a = a
+        self.b = b
+        self.params = params
+        self.stats = AstarPa2Stats()
+        if params.domain == Domain.ASTAR:
+            h_factory = params.heuristic if params.heuristic is not None else NoCost()
+            self.h = h_factory.build(a, b)
+            self.hint = self.h.default_hint()
+        else:
+            self.h = None
+            self.hint = None
+
+    # --- h helpers ---------------------------------------------------------
+
+    def _h(self, pos: Pos) -> int:
+        hv, self.hint = self.h.h_with_hint(pos, self.hint)
+        self.stats.h_calls += 1
+        return hv
+
+    def h0(self) -> int:
+        return self._h(Pos(0, 0)) if self.h is not None else 0
+
+    # --- j_range (mirror of `domain.rs:77-246`) -----------------------------
+
+    def j_range(self, i_range, f_max, prev: Block, old_range):
+        n, m = len(self.a), len(self.b)
+        if f_max is None:
+            rng = (0, m)
+            if old_range is not None:
+                rng = union(rng, old_range)
+            return intersection(rng, (0, m))
+
+        is_, ie = i_range
+        if self.params.domain == Domain.FULL:
+            rng = (0, m)
+        elif self.params.domain == Domain.GAP_START:
+            rng = (is_ + 1 - f_max, ie + f_max)
+        elif self.params.domain == Domain.GAP_GAP:
+            d = m - n
+            s = f_max - abs(d)
+            extra = s // 2
+            rng = (is_ + 1 + min(d, 0) - extra, ie + max(d, 0) + extra)
+        else:
+            rng = self._j_range_astar(i_range, f_max, prev)
+        if old_range is not None:
+            rng = union(rng, old_range)
+        return intersection(rng, (0, m))
+
+    def _j_range_astar(self, i_range, f_max, prev: Block):
+        is_, ie = i_range
+        m = len(self.b)
+        fixed_start, fixed_end = prev.fixed_j_range
+        assert fixed_start <= fixed_end, "Fixed range must not be empty"
+
+        u = Pos(is_, fixed_end)
+        gu = 0 if is_ < 0 else prev.index(fixed_end)
+        v = u
+
+        def f(v: Pos) -> int:
+            # Lower bound for states at/below the diagonal of u
+            # (`domain.rs:153-158`); unit extend cost |Δi - Δj|.
+            delta = (v.j - u.j) - (v.i - u.i)
+            assert delta >= 0
+            return gu + delta + self._h(v)
+
+        if not self.params.sparse_h:
+            vi, vj = v
+            while vi < ie:
+                vi += 1
+                vj += 1
+                vj += 1
+                while vj <= m and f(Pos(vi, vj)) <= f_max:
+                    vj += 1
+                vj -= 1
+            return (fixed_start, vj)
+
+        # Sparse walk (`domain.rs:181-233`).
+        vi, vj = v.i + 1, v.j + 1
+        vj = min(vj + self.params.block_width, m)
+        while True:
+            if vj < vi - u.i + u.j:
+                vj = vi - u.i + u.j
+                break
+            fv = f(Pos(vi, vj))
+            if fv <= f_max:
+                if vj == m:
+                    break
+                vj += 8
+                if vj >= m:
+                    vj = m
+            else:
+                vi += _div_ceil(fv - f_max, 2)
+                if vi > ie:
+                    vi = ie
+                    break
+        vi = ie
+        while True:
+            if vj < vi - u.i + u.j:
+                vj = vi - u.i + u.j
+                break
+            fv = f(Pos(vi, vj))
+            if fv <= f_max:
+                break
+            vj -= _div_ceil(fv - f_max, 2)
+        return (fixed_start, vj)
+
+    # --- fixed_j_range (mirror of `domain.rs:251-350`) ----------------------
+
+    def fixed_j_range(self, i, f_max, prev_fixed_j_range, block: Block):
+        if self.params.domain != Domain.ASTAR or f_max is None:
+            return None
+        m = len(self.b)
+
+        def f(j: int) -> int:
+            return block.index(j) + self._h(Pos(i, j))
+
+        assert block.j_range[0] <= prev_fixed_j_range[0]
+        start = prev_fixed_j_range[0]
+        end = min(block.original_j_range[1], m)
+
+        while start <= end:
+            fv = f(start)
+            if fv <= f_max:
+                break
+            start += _div_ceil(fv - f_max, 2) if self.params.sparse_h else 1
+        while end >= start:
+            fv = f(end)
+            if fv <= f_max:
+                break
+            end -= _div_ceil(fv - f_max, 2) if self.params.sparse_h else 1
+        fixed = (start, end)
+        if block.fixed_j_range is not None:
+            fixed = block.fixed_j_range if is_empty(fixed) else union(fixed, block.fixed_j_range)
+        return fixed
+
+    # --- main loop (mirror of `domain.rs:356-541`) ---------------------------
+
+    def align_for_bounded_dist(self, f_max, trace: bool, blocks: Blocks | None):
+        self.stats.f_max_tries += 1
+        n, m = len(self.a), len(self.b)
+
+        if self.params.prune and self.h is not None:
+            self.h.update_contours(Pos(0, 0))
+
+        if blocks is None:
+            blocks = make_blocks(self.params, self.a, self.b, trace)
+
+        assert (f_max or 0) >= 0
+
+        dummy_prev = replace(Block.default(), fixed_j_range=(-1, -1))
+        initial_j_range = self.j_range(
+            (-1, 0), f_max, dummy_prev, blocks.next_block_j_range()
+        )
+        if is_empty(initial_j_range) or initial_j_range[0] > 0:
+            return None
+        blocks.init(initial_j_range)
+        blocks.set_last_block_fixed_j_range(initial_j_range)
+
+        all_blocks_reused = True
+        bw = self.params.block_width
+        for i in range(0, n, bw):
+            i_range = (i, min(i + bw, n))
+            j_range = self.j_range(
+                i_range, f_max, blocks.last_block(), blocks.next_block_j_range()
+            )
+            if is_empty(j_range):
+                assert blocks.next_block_j_range() is None
+                return None
+
+            reuse = blocks.next_block_j_range() == round_out(j_range) and all_blocks_reused
+            all_blocks_reused &= reuse
+
+            prev_fixed_j_range = blocks.last_block().fixed_j_range
+            if reuse:
+                blocks.reuse_next_block(i_range, j_range)
+            else:
+                blocks.compute_next_block(i_range, j_range)
+
+            next_fixed_j_range = self.fixed_j_range(
+                i_range[1], f_max, prev_fixed_j_range, blocks.last_block()
+            )
+            if next_fixed_j_range is not None and is_empty(next_fixed_j_range):
+                return None
+            blocks.set_last_block_fixed_j_range(next_fixed_j_range)
+
+            if self.params.prune and self.h is not None:
+                inter = intersection(prev_fixed_j_range, next_fixed_j_range)
+                if not is_empty(inter):
+                    self.h.prune_block((i_range[0], i_range[1]), inter)
+
+        dist = blocks.last_block().get(m)
+        if dist is None:
+            return None
+
+        if trace and dist <= (f_max if f_max is not None else band.INF):
+            cigar = trace_path(
+                blocks, self.a, self.b, Pos(0, 0), Pos(n, m), self.params
+            )
+            return dist, cigar
+        return dist, None
+
+
+def make_blocks(params: AstarPa2Params, a: bytes, b: bytes, trace: bool) -> Blocks:
+    ca0, ca1 = bitpack.pack_a(seq_to_codes(a))
+    pb0, pb1 = bitpack.pack_b(seq_to_codes(b))
+    kernel = BlockKernel(ca0, ca1, pb0, pb1, col_bucket=params.block_width)
+    return Blocks(kernel, trace, len(b), params)
+
+
+class AstarPa2:
+    """Typed aligner (mirror of `astarpa2/src/lib.rs:56-215`)."""
+
+    def __init__(self, params: AstarPa2Params, trace: bool = True):
+        self.params = params
+        self.trace = trace
+
+    def cost_or_align(self, a: bytes, b: bytes, trace: bool):
+        params = self.params
+        inst = AstarPa2Instance(a, b, params)
+        h0 = inst.h0()
+        dt = params.doubling
+        if dt.kind == "none":
+            assert params.domain == Domain.FULL
+            r = inst.align_for_bounded_dist(None, trace, None)
+            cost, cigar = r
+        elif dt.kind == "linear-search":
+            start_f, _ = dt.start.initial_values(len(a), len(b), h0)
+            blocks = make_blocks(params, a, b, trace)
+            cost, (cost2, cigar) = band.linear_search(
+                start_f,
+                max(1, int(dt.delta)),
+                lambda s: _wrap(inst.align_for_bounded_dist(s, trace, blocks)),
+            )
+            cost = cost2
+        elif dt.kind == "band-doubling":
+            start_f, start_increment = dt.start.initial_values(len(a), len(b), h0)
+            start_increment = max(start_increment, params.block_width)
+            if dt.start_increment is not None:
+                start_increment = dt.start_increment
+            blocks = make_blocks(params, a, b, trace)
+            _, (cost, cigar) = band.exponential_search(
+                start_f,
+                start_increment,
+                dt.factor,
+                lambda s: _wrap(inst.align_for_bounded_dist(s, trace, blocks)),
+            )
+        else:
+            raise NotImplementedError(dt.kind)
+        assert h0 <= cost, f"Heuristic at start {h0} > final cost {cost}."
+        return cost, cigar, inst.stats
+
+    def align(self, a: bytes, b: bytes):
+        cost, cigar, _ = self.cost_or_align(a, b, self.trace)
+        return cost, cigar
+
+    def cost(self, a: bytes, b: bytes) -> int:
+        cost, _, _ = self.cost_or_align(a, b, False)
+        return cost
+
+
+def _wrap(r):
+    if r is None:
+        return None
+    cost, cigar = r
+    return cost, (cost, cigar)

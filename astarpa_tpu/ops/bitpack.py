@@ -74,10 +74,11 @@ def eq_mask(a0: int, a1: int, pb0: np.ndarray, pb1: np.ndarray) -> np.ndarray:
 def popcount32(x: np.ndarray) -> np.ndarray:
     """Per-element popcount of uint32 (NumPy host-side)."""
     x = np.asarray(x, dtype=np.uint32)
-    x = x - ((x >> 1) & np.uint32(0x55555555))
-    x = (x & np.uint32(0x33333333)) + ((x >> 2) & np.uint32(0x33333333))
-    x = (x + (x >> 4)) & np.uint32(0x0F0F0F0F)
-    return ((x * np.uint32(0x01010101)) >> 24).astype(np.int32)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> 1) & np.uint32(0x55555555))
+        x = (x & np.uint32(0x33333333)) + ((x >> 2) & np.uint32(0x33333333))
+        x = (x + (x >> 4)) & np.uint32(0x0F0F0F0F)
+        return ((x * np.uint32(0x01010101)) >> 24).astype(np.int32)
 
 
 def v_value(vp: np.ndarray, vm: np.ndarray) -> np.ndarray:
