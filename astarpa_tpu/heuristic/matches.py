@@ -1,0 +1,242 @@
+"""k-mer match finding (mirror of `pa-heuristic/src/matches.rs`, `exact.rs`,
+`inexact.rs`).
+
+- r=1: hash the disjoint k-mers of ``a``, stream ``b``'s sliding k-mers in
+  reverse, emit cost-0 matches (`exact.rs:15-69`).
+- r=2: hash all (k-1, k, k+1)-mers of ``b``; for each seed of ``a`` look up
+  the exact q-gram and all single-edit mutations -> matches of cost <= 1
+  (`inexact.rs:253-344`).
+
+The MatchBuilder applies the GCSH transform filter, local pruning
+(look-ahead p), sort/dedup, and the r=2 consistency repair
+(`matches.rs:133-333`).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..types import Pos, seq_to_codes
+from .qgrams import a_qgrams, qgrams_of, to_qgram
+from .seeds import Seeds
+from .prepruning import preserve_for_local_pruning
+
+INT_MAX = (1 << 31) - 1
+
+
+class MatchStatus(enum.Enum):
+    ACTIVE = 0
+    PRUNED = 1
+    PREPRUNED = 2
+    FILTERED = 3
+
+
+@dataclass
+class Match:
+    start: Pos
+    end: Pos
+    match_cost: int
+    seed_potential: int
+    pruned: MatchStatus = MatchStatus.ACTIVE
+
+    def score(self) -> int:
+        return self.seed_potential - self.match_cost
+
+    def is_active(self) -> bool:
+        return self.pruned == MatchStatus.ACTIVE
+
+    def prune(self) -> None:
+        self.pruned = MatchStatus.PRUNED
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """`matches.rs:388-423` (fixed-length seeds only)."""
+
+    k: int
+    r: int
+    local_pruning: int = 0
+
+
+@dataclass
+class Matches:
+    seeds: Seeds
+    matches: list[Match]
+
+
+def _match_key(m: Match):
+    return (m.start.i, m.start.j, m.end.i, m.end.j, m.match_cost)
+
+
+class MatchBuilder:
+    """Collects matches; filters; sorts; repairs consistency
+    (`matches.rs:157-333`)."""
+
+    def __init__(self, ca, cb, config: MatchConfig, transform_filter: bool):
+        self.ca = ca
+        self.cb = cb
+        self.config = config
+        self.seeds = Seeds.fixed_length(len(ca), config.k, config.r)
+        self.matches: list[Match] = []
+        self.transform_filter = transform_filter
+        self.transform_target = self.seeds.transform(Pos(len(ca), len(cb)))
+        # The i of the next (leftmost) match on each (absolute) diagonal.
+        self.next_match_per_diag: dict[int, int] = {}
+
+    def push(self, m: Match) -> None:
+        if self.transform_filter:
+            t = self.seeds.transform(m.start)
+            if not (t.i <= self.transform_target.i and t.j <= self.transform_target.j):
+                return
+        if self.config.local_pruning != 0 and not preserve_for_local_pruning(
+            self.ca, self.cb, self.seeds, m, self.config.local_pruning,
+            self.next_match_per_diag,
+        ):
+            return
+
+        seed = self.seeds.seed_at(m.start)
+        seed.seed_cost = min(seed.seed_cost, m.match_cost)
+
+        if self.config.local_pruning != 0:
+            d = m.start.i - m.start.j
+            old = self.next_match_per_diag.get(d, INT_MAX)
+            assert old >= m.start.i, (
+                "Matches should be added in reverse order on each diagonal."
+            )
+            self.next_match_per_diag[d] = m.start.i
+
+        self.matches.append(m)
+
+    def sort(self) -> None:
+        self.matches.sort(key=_match_key)
+
+    def make_consistent(self) -> None:
+        """Re-add +-1-indel shadow matches lost to local pruning
+        (`matches.rs:259-298`)."""
+        if self.config.local_pruning == 0 or self.config.r == 1:
+            return
+        assert self.config.r == 2
+        keys = {_match_key(m) for m in self.matches}
+        new = []
+        for m in list(self.matches):
+            if m.match_cost + 1 >= m.seed_potential:
+                continue
+            for dis, die in [(0, 1), (0, -1), (1, 0), (-1, 0)]:
+                mm = Match(
+                    Pos(m.start.i, m.start.j + dis),
+                    Pos(m.end.i, m.end.j + die),
+                    m.match_cost + 1,
+                    m.seed_potential,
+                )
+                if _match_key(mm) not in keys:
+                    new.append(mm)
+        self.matches.extend(new)
+        self.sort()
+
+    def finish(self) -> Matches:
+        self.sort()
+        # Dedup by (start, end), keeping the lowest cost (sorted first).
+        deduped = []
+        last = None
+        for m in self.matches:
+            key = (m.start, m.end)
+            if key != last:
+                deduped.append(m)
+                last = key
+        self.matches = deduped
+        self.make_consistent()
+        return Matches(self.seeds, self.matches)
+
+
+def find_matches(a: bytes, b: bytes, config: MatchConfig, transform_filter: bool) -> Matches:
+    """Dispatch on r (`matches.rs:17-39`)."""
+    ca, cb = seq_to_codes(a), seq_to_codes(b)
+    if config.r == 1:
+        return _find_exact(ca, cb, config, transform_filter)
+    if config.r == 2:
+        return _find_inexact(ca, cb, config, transform_filter)
+    raise NotImplementedError("r must be 1 or 2")
+
+
+def _find_exact(ca, cb, config: MatchConfig, transform_filter: bool) -> Matches:
+    """r=1 hash_a (`exact.rs:15-69`)."""
+    k = config.k
+    builder = MatchBuilder(ca, cb, config, transform_filter)
+    starts, aq = a_qgrams(ca, k)
+    table: dict[int, list[int]] = {}
+    for i, q in zip(starts.tolist(), aq.tolist()):
+        table.setdefault(q, []).append(i)
+    bq = qgrams_of(cb, k)
+    # Stream b's k-mers in reverse (`exact.rs:20-22` uses b_qgrams_rev).
+    for j in range(len(bq) - 1, -1, -1):
+        hits = table.get(int(bq[j]))
+        if hits:
+            for i in hits:
+                builder.push(
+                    Match(Pos(i, j), Pos(i + k, j + k), 0, 1)
+                )
+    builder.sort()
+    return builder.finish()
+
+
+def _mutations(k: int, qgram: int) -> tuple[list[int], list[int], list[int]]:
+    """All single-edit variants of a 2-bit packed q-gram
+    (`inexact.rs:18-58`, dedup=False).  Returns (deletions, substitutions,
+    insertions) of lengths k-1, k, k+1 respectively.
+    """
+    subs = []
+    for i in range(k):
+        mask = ~(3 << (2 * i))
+        for s in range(4):
+            q = (qgram & mask) | (s << (2 * i))
+            if q != qgram:
+                subs.append(q)
+    ins = []
+    for i in range(k + 1):
+        mask = (1 << (2 * i)) - 1
+        for s in range(4):
+            ins.append((qgram & mask) | (s << (2 * i)) | ((qgram & ~mask) << 2))
+    dels = []
+    for i in range(k):
+        mask = (1 << (2 * i)) - 1
+        dels.append((qgram & mask) | ((qgram & (~mask << 2)) >> 2))
+    return dels, subs, ins
+
+
+def _find_inexact(ca, cb, config: MatchConfig, transform_filter: bool) -> Matches:
+    """r=2 qgram-hash matcher (`inexact.rs:253-344`)."""
+    k = config.k
+    builder = MatchBuilder(ca, cb, config, transform_filter)
+    # Hash all (k-1, k, k+1)-mers of b, one table per length.
+    tables: dict[int, dict[int, list[int]]] = {}
+    for kk in (k - 1, k, k + 1):
+        t: dict[int, list[int]] = {}
+        for j, q in enumerate(qgrams_of(cb, kk).tolist()):
+            t.setdefault(q, []).append(j)
+        tables[kk] = t
+
+    def push_all(start, end_i, js, dj, cost):
+        if js:
+            for j in js:
+                builder.push(
+                    Match(Pos(start, j), Pos(end_i, j + dj), cost, 2)
+                )
+
+    # Iterate seeds in reverse (right-to-left) for local-pruning order.
+    for seed in reversed(builder.seeds.seeds):
+        start, end = seed.start, seed.end
+        qgram = to_qgram(ca[start:end])
+        before = len(builder.matches)
+        push_all(start, end, tables[k].get(qgram), k, 0)
+        dels, subs, ins = _mutations(k, qgram)
+        for w in dels:
+            push_all(start, end, tables[k - 1].get(w), k - 1, 1)
+        for w in subs:
+            push_all(start, end, tables[k].get(w), k, 1)
+        for w in ins:
+            push_all(start, end, tables[k + 1].get(w), k + 1, 1)
+        builder.matches[before:] = sorted(builder.matches[before:], key=_match_key)
+    return builder.finish()

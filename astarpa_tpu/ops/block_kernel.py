@@ -25,10 +25,12 @@ _ONES_NP = np.uint32(0xFFFFFFFF)
 
 
 @jax.jit
-def _compute(a0, a1, pb0, pb1, vp, vm, hp_in, hm_in, ncols):
+def _compute(a0, a1, pb0, pb1, vp, vm, hp_in, hm_in, ncols, nwords):
     """Masked block compute: right-edge v planes + bottom h bits per column.
 
-    Columns with index >= ncols leave the carry untouched.
+    Columns with index >= ncols leave the carry untouched.  The returned
+    bottom h is the chain value after word ``nwords - 1`` — the true bottom
+    of the requested range, not of the shape-bucket padding below it.
     """
 
     def col_step(carry, xs):
@@ -40,9 +42,11 @@ def _compute(a0, a1, pb0, pb1, vp, vm, hp_in, hm_in, ncols):
             hp, hm = h
             eq_w, vp_w, vm_w = xs_w
             vp_w, vm_w, hp, hm = step_word(eq_w, vp_w, vm_w, hp, hm)
-            return (hp, hm), (vp_w, vm_w)
+            return (hp, hm), (vp_w, vm_w, hp, hm)
 
-        (hp_o, hm_o), (vp2, vm2) = jax.lax.scan(word_step, (hp, hm), (eq, vp, vm))
+        _, (vp2, vm2, hps, hms) = jax.lax.scan(word_step, (hp, hm), (eq, vp, vm))
+        hp_o = hps[nwords - 1]
+        hm_o = hms[nwords - 1]
         active = i < ncols
         vp = jnp.where(active, vp2, vp)
         vm = jnp.where(active, vm2, vm)
@@ -148,7 +152,7 @@ class BlockKernel:
         vp_o, vm_o, hp_o, hm_o = _compute(
             jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(pb0), jnp.asarray(pb1),
             jnp.asarray(vp_p), jnp.asarray(vm_p), jnp.asarray(hp), jnp.asarray(hm),
-            jnp.int32(ncols),
+            jnp.int32(ncols), jnp.int32(nwords),
         )
         self.computed_lanes += nwords * ncols
         self.computed_cols += ncols

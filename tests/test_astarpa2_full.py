@@ -1,0 +1,85 @@
+"""End-to-end tests for GCSH-guided alignment (astarpa2-full equivalent).
+
+Mirrors the reference's configuration-matrix tests (`astarpa2/src/tests.rs`).
+"""
+
+import numpy as np
+import pytest
+from dataclasses import replace
+
+from astarpa_tpu import generate, oracle
+from astarpa_tpu.aligners.astarpa2 import AstarPa2Params
+from astarpa_tpu.heuristic.csh import CSH, GCSH
+from astarpa_tpu.heuristic.matches import MatchConfig
+from astarpa_tpu.heuristic.prune import Prune, Pruning
+
+TRICKY = [
+    (b"TTGGGTCAATCAGCCAGTTTTTA", b"TTTGAGTGGGTCATCACCGATTTTAT"),
+    (b"ACTGACCAGT", b"CCGACAGGA"),
+    (b"AGTTTTAT", b"ACCGATTTTTA"),
+    (b"CTCTCTTCTCTCTCTA", b"CCTCTCTCTCTCCTCTC"),
+    (b"AGTGGGTTGCCTTCATTCCG", b"AGTGGTGTCTTCAGGCCTTCATTCCG"),
+    (b"GCACGTCGCCCCCCGCCCGCG", b"GCCCGCCCGCCCGCCCCCGCCCCC"),
+]
+
+
+def check(params, a, b, ctx=""):
+    expected = oracle.levenshtein(a, b)
+    cost, cigar, _ = params.make_aligner(True).cost_or_align(a, b, True)
+    assert cost == expected, f"{ctx}: {cost} != {expected}"
+    assert cigar.verify(a, b) == cost, ctx
+
+
+def variants():
+    # GCSH/CSH x r x prune x local_pruning x incremental_doubling.
+    full = AstarPa2Params.full()
+    yield "full-default", full
+    yield "full-r2", replace(
+        full, heuristic=GCSH(MatchConfig(k=10, r=2, local_pruning=14), Pruning(Prune.START)),
+    )
+    yield "full-noprune", replace(
+        full,
+        prune=False,
+        heuristic=GCSH(MatchConfig(k=12, r=1, local_pruning=0), Pruning.disabled()),
+    )
+    yield "full-no-id", replace(full, incremental_doubling=False)
+    yield "csh-nogap", replace(
+        full,
+        heuristic=CSH(MatchConfig(k=10, r=1, local_pruning=0), Pruning(Prune.START)),
+    )
+    yield "full-no-dt", replace(full, dt_trace=False)
+    yield "full-k6", replace(
+        full, heuristic=GCSH(MatchConfig(k=6, r=1, local_pruning=4), Pruning(Prune.START)),
+    )
+
+
+@pytest.mark.parametrize("name,params", list(variants()))
+def test_full_tricky(name, params):
+    for a, b in TRICKY:
+        check(params, a, b, name)
+
+
+@pytest.mark.parametrize("name,params", list(variants()))
+def test_full_grid(name, params):
+    rng = np.random.default_rng(hash(name) % (1 << 31))
+    for n in [30, 100, 256, 513]:
+        for e in [0.0, 0.05, 0.2]:
+            for model in generate.ErrorModel:
+                a, b = generate.generate_model(n, e, model, int(rng.integers(1 << 31)))
+                check(params, a, b, f"{name} n={n} e={e} {model}")
+
+
+def test_full_long():
+    a, b = generate.generate_model(3000, 0.08, generate.ErrorModel.UNIFORM, 1)
+    check(AstarPa2Params.full(), a, b, "3kbp")
+
+
+def test_astarpa_entry():
+    from astarpa_tpu import api
+
+    for a, b in TRICKY:
+        cost, cigar = api.astarpa(a, b)
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+    cost, _ = api.astarpa(b"ACTCGCT", b"AACTCGTT")
+    assert cost == 2
