@@ -47,14 +47,8 @@ def pack_batch(pairs: list[tuple[bytes, bytes]], pad_cols: int = 64, pad_words: 
         b0, b1 = bitpack.pack_b(seq_to_codes(b), num_words=max_words)
         pb0[idx] = b0
         pb1[idx] = b1
-    return dict(
-        a0=jnp.asarray(a0),
-        a1=jnp.asarray(a1),
-        pb0=jnp.asarray(pb0),
-        pb1=jnp.asarray(pb1),
-        n=jnp.asarray(ns),
-        m=jnp.asarray(ms),
-    )
+    # Host numpy: callers (jit / device_put) decide device placement.
+    return dict(a0=a0, a1=a1, pb0=pb0, pb1=pb1, n=ns, m=ms)
 
 
 def nw_cost_batch(pairs: list[tuple[bytes, bytes]]) -> np.ndarray:

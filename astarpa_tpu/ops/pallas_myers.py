@@ -36,9 +36,9 @@ _ONES = 0xFFFFFFFF  # plain int: jnp scalars may not be captured by kernels
 
 def _shift_down(x, new_row):
     """Shift sublanes down by one, inserting ``new_row`` at sublane 0."""
-    rolled = pltpu.roll(x, shift=1, axis=0)
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    return jnp.where(row_idx == 0, new_row, rolled)
+    if x.shape[0] == 1:
+        return new_row
+    return jnp.concatenate([new_row, x[:-1, :]], axis=0)
 
 
 def _nw_kernel(a0_ref, a1_ref, pb0_ref, pb1_ref, n_ref, vp_ref, vm_ref):
