@@ -31,6 +31,7 @@ __all__ = [
     "generate_model",
     "uniform_fixed",
     "astarpa",
+    "astarpa_gcsh",
     "astarpa2_nw",
     "astarpa2_simple",
     "astarpa2_full",
@@ -40,7 +41,7 @@ __all__ = [
 def __getattr__(name):
     # Lazy imports so that `astarpa_tpu.types`/`generate` stay importable
     # without pulling in JAX.
-    if name in ("astarpa2_nw", "astarpa2_simple", "astarpa2_full", "astarpa"):
+    if name in ("astarpa2_nw", "astarpa2_simple", "astarpa2_full", "astarpa", "astarpa_gcsh"):
         from . import api
 
         return getattr(api, name)

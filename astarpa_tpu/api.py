@@ -26,21 +26,16 @@ def astarpa2_full(a: bytes, b: bytes) -> tuple[int, Cigar]:
 
 
 def astarpa(a: bytes, b: bytes) -> tuple[int, Cigar]:
-    """Default full-strength alignment.
+    """Default A*PA alignment (`astarpa/src/lib.rs:56-64`): A* in the
+    diagonal-transition state space guided by GCSH (r=2, k=15) with match
+    pruning by start."""
+    from .astar import astarpa as _astarpa
 
-    The reference's `astarpa()` (astarpa/src/lib.rs:62-64) runs A* with GCSH
-    (r=2, k=15) in DT space; this framework re-expresses that as the
-    equivalent exact block band-doubling DP guided by the same heuristic
-    (the TPU-shaped formulation; identical costs).
-    """
-    from .heuristic.csh import GCSH
-    from .heuristic.matches import MatchConfig
-    from .heuristic.prune import Prune, Pruning
-    from dataclasses import replace
+    return _astarpa(a, b)
 
-    params = replace(
-        AstarPa2Params.full(),
-        heuristic=GCSH(MatchConfig(k=15, r=2, local_pruning=0), Pruning(Prune.START)),
-    )
-    cost, cigar, _ = params.make_aligner(True).cost_or_align(a, b, True)
-    return cost, cigar
+
+def astarpa_gcsh(a: bytes, b: bytes, r: int, k: int, prune) -> tuple[int, Cigar]:
+    """A*PA with custom GCSH parameters (`astarpa/src/lib.rs:69-77`)."""
+    from .astar import astarpa_gcsh as _gcsh
+
+    return _gcsh(a, b, r, k, prune)

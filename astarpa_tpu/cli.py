@@ -51,16 +51,12 @@ def build_aligner(name: str, trace: bool):
     if name == "nw":
         return AstarPa2Params.nw().make_aligner(trace)
     if name == "astarpa":
-        from dataclasses import replace
+        from .astar import AstarPa
         from .heuristic.csh import GCSH
         from .heuristic.matches import MatchConfig
         from .heuristic.prune import Prune, Pruning
 
-        params = replace(
-            AstarPa2Params.full(),
-            heuristic=GCSH(MatchConfig(k=15, r=2), Pruning(Prune.START)),
-        )
-        return params.make_aligner(trace)
+        return AstarPa(dt=True, h=GCSH(MatchConfig(k=15, r=2), Pruning(Prune.START)))
     raise ValueError(name)
 
 

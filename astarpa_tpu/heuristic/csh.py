@@ -24,6 +24,7 @@ from .distances import HeuristicInstance
 from .matches import MatchConfig, find_matches
 from .prune import MatchPruner, Prune, Pruning
 from .seeds import Seeds
+from .stats import HeuristicStats
 
 
 @dataclass
@@ -55,11 +56,20 @@ class CSHI(HeuristicInstance):
         self.seeds: Seeds = ms.seeds
         self.target = Pos(len(a), len(b))
         self.t_target = self.transform(self.target)
-        self.pruner = MatchPruner(params.pruning, ms.matches, self.seeds)
+        self.pruner = MatchPruner(
+            params.pruning, params.use_gap_cost, ms.matches, self.seeds
+        )
         self.contours = Contours()
         self._dirty = False
         self._rebuild_contours()
         self.num_pruned = 0
+        self.max_transformed_pos = Pos(0, 0)
+        self.hstats = HeuristicStats(
+            num_seeds=len(self.seeds.seeds),
+            num_matches=len(ms.matches),
+            num_filtered_matches=len(ms.matches),
+        )
+        self.hstats.h0 = self.h(Pos(0, 0))
 
     # --- transform -----------------------------------------------------------
 
@@ -111,6 +121,7 @@ class CSHI(HeuristicInstance):
         return p - val
 
     def h_with_hint(self, pos: Pos, hint):
+        self.hstats.h_calls += 1
         p = self.seeds.pot(pos)
         val, new_hint = self.contours.score_with_hint(self.transform(pos), hint)
         if val == 0:
@@ -126,7 +137,49 @@ class CSHI(HeuristicInstance):
     def is_seed_start_or_end(self, pos: Pos) -> bool:
         return self.seeds.is_seed_start_or_end(pos)
 
+    # --- order (queue shifts) --------------------------------------------------
+
+    def order_of(self, pos: Pos):
+        return (pos.i, pos.j)
+
+    def order_zero(self):
+        return (0, 0)
+
+    def explore(self, pos: Pos) -> None:
+        """Track the max explored transformed position (`csh.rs:556-560`);
+        gates whether a prune's shift may be applied to the whole queue."""
+        t = self.transform(pos)
+        self.max_transformed_pos = Pos(
+            max(self.max_transformed_pos.i, t.i),
+            max(self.max_transformed_pos.j, t.j),
+        )
+
     # --- pruning ---------------------------------------------------------------
+
+    def prune(self, pos: Pos, hint) -> tuple[int, tuple[int, int]]:
+        """Per-position prune for the A* loop (`csh.rs:393-468`).
+
+        Departure from the reference: the contours are rebuilt from the
+        active match set instead of rippled incrementally, which is exact by
+        construction; the O(1) queue-shift amount is therefore not tracked
+        and 0 is returned (always sound — stale entries are lazily
+        reordered on pop instead).  The native C++ runtime implements the
+        incremental ripple with true shifts.
+        """
+        if not self.params.pruning.is_enabled():
+            return 0, self.order_zero()
+        p_start, p_end = self.pruner.prune(self.seeds, pos)
+        self.hstats.prune_calls += 1
+        if p_start + p_end == 0:
+            return 0, self.order_of(pos)
+        self.num_pruned += p_start + p_end
+        self.hstats.num_pruned += p_start + p_end
+        self._rebuild_contours()
+        return 0, self.order_of(pos)
+
+    def stats(self) -> HeuristicStats:
+        self.hstats.h0_end = self.h(Pos(0, 0))
+        return self.hstats
 
     def prune_block(self, i_range, j_range) -> None:
         """Mark matches starting in the block as pruned (`csh.rs:472-493`);

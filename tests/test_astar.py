@@ -1,0 +1,146 @@
+"""A* runtime tests (mirror of the reference test strategy,
+`astarpa/src/tests.rs:8-171`): a configuration matrix over
+{SH, CSH, GCSH} x {exact, inexact} x {prune, noprune} x {A*, DT-A*},
+checked for exact cost parity against the NumPy oracle, with CIGARs
+verified against the sequences."""
+
+import pytest
+
+from astarpa_tpu import generate, oracle
+from astarpa_tpu.astar import AstarPa, astarpa, astarpa_gcsh
+from astarpa_tpu.heuristic.csh import CSH, GCSH
+from astarpa_tpu.heuristic.distances import GapCost, NoCost
+from astarpa_tpu.heuristic.matches import MatchConfig
+from astarpa_tpu.heuristic.prune import Prune, Pruning
+from astarpa_tpu.heuristic.sh import SH
+
+
+def _grid(seed0=1234):
+    """Small n x e grid with all error models (pa-test style)."""
+    cases = []
+    seed = seed0
+    for n in (10, 40, 100, 250):
+        for e in (0.0, 0.1, 0.3, 1.0):
+            for model in generate.ErrorModel:
+                seed += 1
+                a, b = generate.generate_model(n, e, model, seed)
+                cases.append((a, b))
+    return cases
+
+
+def _check(aligner, a, b):
+    (cost, cigar), stats = aligner.align_with_stats(a, b)
+    expected = oracle.levenshtein(a, b)
+    assert cost == expected, f"cost {cost} != oracle {expected} for {a!r} {b!r}"
+    assert cigar.verify(a, b) == cost
+    return stats
+
+
+def _heuristic(name: str, k: int, r: int, prune: bool):
+    pruning = Pruning(Prune.START) if prune else Pruning.disabled()
+    mc = MatchConfig(k=k, r=r)
+    if name == "sh":
+        return SH(mc, pruning)
+    if name == "csh":
+        return CSH(mc, pruning)
+    if name == "gcsh":
+        return GCSH(mc, pruning)
+    raise ValueError(name)
+
+
+HEURISTICS = ["sh", "csh", "gcsh"]
+
+
+@pytest.mark.parametrize("dt", [False, True], ids=["astar", "astar-dt"])
+@pytest.mark.parametrize("prune", [False, True], ids=["noprune", "prune"])
+@pytest.mark.parametrize("r", [1, 2], ids=["exact", "inexact"])
+@pytest.mark.parametrize("h_name", HEURISTICS)
+def test_matrix(h_name, r, prune, dt):
+    for k in (8, 10):
+        aligner = AstarPa(dt=dt, h=_heuristic(h_name, k, r, prune))
+        seed = 100 * k + r
+        for n in (10, 60, 150):
+            for e in (0.0, 0.1, 0.3):
+                seed += 1
+                a, b = generate.uniform_seeded(n, e, seed)
+                _check(aligner, a, b)
+
+
+@pytest.mark.parametrize("dt", [False, True], ids=["astar", "astar-dt"])
+def test_dijkstra(dt):
+    aligner = AstarPa(dt=dt, h=NoCost())
+    for a, b in _grid()[:24]:
+        _check(aligner, a, b)
+
+
+@pytest.mark.parametrize("dt", [False, True], ids=["astar", "astar-dt"])
+def test_gapcost_heuristic(dt):
+    aligner = AstarPa(dt=dt, h=GapCost())
+    for a, b in _grid(77)[:24]:
+        _check(aligner, a, b)
+
+
+def test_full_grid_default():
+    """The public astarpa() on the full generator grid."""
+    for a, b in _grid(4242):
+        cost, cigar = astarpa(a, b)
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
+def test_astarpa_gcsh_params():
+    for r, k, prune in [(1, 8, Prune.START), (2, 10, Prune.NONE), (2, 15, Prune.START)]:
+        for seed in (3, 4):
+            a, b = generate.uniform_seeded(200, 0.15, seed)
+            cost, cigar = astarpa_gcsh(a, b, r, k, prune)
+            assert cost == oracle.levenshtein(a, b)
+            assert cigar.verify(a, b) == cost
+
+
+def test_prune_end_both():
+    """Prune::End and Prune::Both paths (consistency-checked)."""
+    for prune in (Prune.END, Prune.BOTH):
+        for dt in (False, True):
+            h = GCSH(MatchConfig(k=8, r=2), Pruning(prune))
+            aligner = AstarPa(dt=dt, h=h)
+            for seed in (5, 6):
+                a, b = generate.uniform_seeded(120, 0.2, seed)
+                _check(aligner, a, b)
+
+
+def test_skip_prune():
+    h = GCSH(MatchConfig(k=8, r=1), Pruning(Prune.START, skip_prune=2))
+    aligner = AstarPa(dt=True, h=h)
+    for seed in (7, 8):
+        a, b = generate.uniform_seeded(150, 0.12, seed)
+        _check(aligner, a, b)
+
+
+def test_stats_populated():
+    aligner = AstarPa(dt=False, h=GCSH(MatchConfig(k=8, r=1), Pruning(Prune.START)))
+    a, b = generate.uniform_seeded(200, 0.1, 9)
+    stats = _check(aligner, a, b)
+    assert stats.expanded > 0
+    assert stats.explored >= stats.expanded
+    assert stats.h.num_seeds == len(a) // 8
+    assert stats.h.h_calls > 0
+    assert stats.distance == oracle.levenshtein(a, b)
+
+
+def test_tricky_pairs():
+    """Hardcoded tricky cases in the spirit of `pa-test/src/lib.rs:7-20`."""
+    cases = [
+        (b"", b""),
+        (b"A", b""),
+        (b"", b"A"),
+        (b"A", b"A"),
+        (b"A", b"C"),
+        (b"ACGT" * 10, b"ACGT" * 10),
+        (b"AAAAAAAAAA", b"TTTTTTTTTT"),
+        (b"ACGTACGTAC", b"ACGTTACGTA"),
+        (b"AGCCGCGACGTTTAAGGCAG", b"AGCCGCGACGTTTAAGGCAG"[::-1]),
+    ]
+    for a, b in cases:
+        cost, cigar = astarpa(a, b)
+        assert cost == oracle.levenshtein(a, b), (a, b)
+        assert cigar.verify(a, b) == cost
