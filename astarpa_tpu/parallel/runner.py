@@ -1,0 +1,191 @@
+"""Batch/streaming alignment runtime: the performance product.
+
+The reference is single-pair single-threaded; the TPU framework's unit of
+scale is a *batch* of independent pairs (SURVEY.md §2.6): pairs are bucketed
+by padded shape, packed into device arrays, aligned with the banded batched
+kernel (:mod:`astarpa_tpu.ops.banded`), and certified per pair; uncertified
+pairs retry with a doubled band — the batch-level re-expression of the
+reference's ``exponential_search`` (`astarpa2/src/band.rs:100-141`).
+
+Multi-chip/multi-host: one ``batch`` mesh axis.  Inputs are sharded along
+it with ``NamedSharding``; each pair's DP state stays on one device; the
+only collectives are the result gather and ``psum``-style stat merges that
+XLA inserts at readout.  No TP/PP analog exists — the unit of work is one
+pair (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..types import Cigar
+from ..ops.bitpack import W, n_words
+
+INF = 1 << 30
+
+
+@dataclass
+class BatchStats:
+    pairs: int = 0
+    buckets: int = 0
+    band_retries: int = 0
+    cells_computed: int = 0
+    aligned_bp: int = 0
+
+
+@dataclass
+class BatchAligner:
+    """Aligns many pairs data-parallel on the available devices.
+
+    Args:
+      band_words: initial band height in uint32 words (doubled on failure).
+      lane_multiple: batch padding granularity (VPU lane tiles).
+      mesh: optional ``jax.sharding.Mesh`` with a ``batch`` axis; inputs are
+        sharded over it.  None = single default device.
+    """
+
+    band_words: int = 8
+    lane_multiple: int = 256
+    mesh: object = None
+    max_band_doublings: int = 8
+
+    def cost(self, pairs) -> np.ndarray:
+        costs, _ = self.cost_with_stats(pairs)
+        return costs
+
+    def cost_with_stats(self, pairs) -> tuple[np.ndarray, BatchStats]:
+        """Exact edit distances for a list of byte pairs."""
+        stats = BatchStats(pairs=len(pairs))
+        out = np.full(len(pairs), -1, dtype=np.int64)
+
+        # Trivial pairs never hit the device.
+        todo: list[int] = []
+        for idx, (a, b) in enumerate(pairs):
+            if len(a) == 0 or len(b) == 0:
+                out[idx] = len(a) + len(b)
+            else:
+                todo.append(idx)
+
+        for bucket in _buckets(pairs, todo):
+            stats.buckets += 1
+            self._run_bucket(pairs, bucket, out, stats)
+
+        stats.aligned_bp = sum(len(a) for a, _ in pairs)
+        assert (out >= 0).all()
+        return out, stats
+
+    # -- internals -----------------------------------------------------------
+
+    def _run_bucket(self, pairs, idxs: list[int], out: np.ndarray, stats: BatchStats) -> None:
+        from ..ops import banded
+        from ..ops.pallas_myers import pack_batch_staggered
+
+        band = self.band_words
+        pending = idxs
+        for attempt in range(self.max_band_doublings + 1):
+            bucket_pairs = [pairs[i] for i in pending]
+            args, B0 = pack_batch_staggered(bucket_pairs, self.lane_multiple)
+            args = self._shard(args)
+            a0, a1, pb0, pb1, n, m = args
+            n_max, S = a0.shape[0], pb0.shape[0]
+            sw = min(band, S)
+            costs = np.asarray(
+                banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw)
+            )[:B0]
+            stats.cells_computed += n_max * sw * W * len(pending)
+            if sw >= S:
+                # Full-height window: always exact.
+                ok = np.ones(B0, dtype=bool)
+            else:
+                thr = banded.band_threshold(
+                    sw, np.asarray(n)[:B0], np.asarray(m)[:B0], n_max, S * W
+                )
+                ok = costs <= thr
+            for i, c, o in zip(pending, costs, ok):
+                if o:
+                    out[i] = int(c)
+            pending = [i for i, o in zip(pending, ok) if not o]
+            if not pending:
+                return
+            stats.band_retries += 1
+            band *= 2
+        raise AssertionError("band doubling did not converge")
+
+    def _shard(self, args):
+        if self.mesh is None:
+            return args
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard_cols = NamedSharding(self.mesh, P(None, "batch"))
+        shard_vec = NamedSharding(self.mesh, P("batch"))
+        a0, a1, pb0, pb1, n, m = args
+        ndev = self.mesh.devices.size
+        B = a0.shape[1]
+        if B % ndev != 0:
+            pad = -B % ndev
+            a0 = _pad_cols(a0, pad)
+            a1 = _pad_cols(a1, pad)
+            pb0 = _pad_cols(pb0, pad)
+            pb1 = _pad_cols(pb1, pad)
+            n = np.concatenate([np.asarray(n), np.ones(pad, np.int32)])
+            m = np.concatenate([np.asarray(m), np.ones(pad, np.int32)])
+        return (
+            jax.device_put(a0, shard_cols),
+            jax.device_put(a1, shard_cols),
+            jax.device_put(pb0, shard_cols),
+            jax.device_put(pb1, shard_cols),
+            jax.device_put(np.asarray(n), shard_vec),
+            jax.device_put(np.asarray(m), shard_vec),
+        )
+
+    # -- CIGAR path ------------------------------------------------------------
+
+    def align(self, pairs) -> list[tuple[int, Cigar]]:
+        """Costs on device, CIGARs via the block aligner's traceback.
+
+        v1: traceback runs per pair through the host block aligner seeded
+        with the known distance (single band pass, no doubling search).
+        """
+        from ..aligners.astarpa2 import AstarPa2Params
+
+        costs = self.cost(pairs)
+        aligner = AstarPa2Params.simple().make_aligner(True)
+        results = []
+        for (a, b), c in zip(pairs, costs):
+            cost, cigar = aligner.align(a, b)
+            assert cost == c, f"device cost {c} != trace cost {cost}"
+            results.append((cost, cigar))
+        return results
+
+
+def _pad_cols(x, pad: int):
+    x = np.asarray(x)
+    return np.concatenate([x, np.zeros((x.shape[0], pad), x.dtype)], axis=1)
+
+
+def _buckets(pairs, idxs: list[int], growth: float = 1.5) -> list[list[int]]:
+    """Group pair indices into shape buckets: geometric n-classes so padding
+    waste is bounded by ``growth``; within a class, one bucket (m_max is
+    checked against the banded kernel's one-shift-per-column requirement
+    m_max <= W * n_max, guaranteed here by splitting skewed pairs off)."""
+    by_class: dict[tuple[int, int], list[int]] = {}
+    for i in idxs:
+        a, b = pairs[i]
+        ncls = 0
+        size = 64
+        while size < len(a):
+            size = int(size * growth) + 1
+            ncls += 1
+        skew = 0 if len(b) <= W * max(1, len(a)) else 1
+        by_class.setdefault((ncls, skew), []).append(i)
+    out = []
+    for (_, skew), members in sorted(by_class.items()):
+        if skew:
+            # Extremely skewed pairs (m > 32n): full-height window per pair.
+            out.extend([[i] for i in members])
+        else:
+            out.append(members)
+    return out

@@ -1,0 +1,91 @@
+"""Banded batch kernel + BatchAligner tests vs the NumPy oracle."""
+
+import numpy as np
+import pytest
+
+from astarpa_tpu import generate, oracle
+from astarpa_tpu.ops import banded
+from astarpa_tpu.ops.pallas_myers import pack_batch_staggered
+from astarpa_tpu.parallel.runner import BatchAligner
+
+
+def _mixed_pairs(seed0=0, count=16):
+    pairs = []
+    models = list(generate.ErrorModel)
+    for s in range(count):
+        n = 200 + (s * 197) % 900
+        e = [0.0, 0.02, 0.08, 0.2][s % 4]
+        model = models[s % len(models)]
+        pairs.append(generate.generate_model(n, e, model, seed0 + s))
+    return pairs
+
+
+def test_banded_certified_exact():
+    """Certified (accepted) results must equal the oracle for every band."""
+    pairs = _mixed_pairs(1)
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=8)
+    a0, a1, pb0, pb1, n, m = args
+    expected = [oracle.levenshtein(a, b) for a, b in pairs]
+    S = pb0.shape[0]
+    accepted_any = np.zeros(B0, dtype=bool)
+    for sw in (4, 8, 16, 32, 64):
+        sw_eff = min(sw, S)
+        got = np.asarray(banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw))[:B0]
+        if sw_eff >= S:
+            ok = np.ones(B0, bool)
+        else:
+            thr = banded.band_threshold(
+                sw_eff, np.asarray(n)[:B0], np.asarray(m)[:B0], a0.shape[0], S * 32
+            )
+            ok = got <= thr
+        for g, e, o in zip(got, expected, ok):
+            assert g >= e  # always an upper bound
+            if o:
+                assert g == e
+        accepted_any |= ok
+    assert accepted_any.all()
+
+
+def test_batch_aligner_costs():
+    pairs = _mixed_pairs(7, count=24) + [(b"", b""), (b"ACGT", b""), (b"", b"ACGT")]
+    ba = BatchAligner(band_words=4, lane_multiple=8)
+    costs, stats = ba.cost_with_stats(pairs)
+    expected = [oracle.levenshtein(a, b) for a, b in pairs]
+    assert list(costs) == expected
+    assert stats.pairs == len(pairs)
+    assert stats.buckets >= 1
+
+
+def test_batch_aligner_mixed_lengths():
+    rng = np.random.default_rng(3)
+    pairs = []
+    for s in range(12):
+        n = int(rng.integers(1, 2000))
+        a, b = generate.uniform_seeded(n, float(rng.uniform(0, 0.3)), 1000 + s)
+        pairs.append((a, b))
+    # One extremely skewed pair exercising the full-window fallback bucket.
+    pairs.append((b"ACG", b"ACGT" * 40))
+    ba = BatchAligner(band_words=4, lane_multiple=8)
+    costs = ba.cost(pairs)
+    assert list(costs) == [oracle.levenshtein(a, b) for a, b in pairs]
+
+
+def test_batch_aligner_mesh():
+    """Sharded over an 8-device CPU mesh (the multi-host recipe)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices("cpu")[:8])
+    mesh = Mesh(devs, axis_names=("batch",))
+    pairs = _mixed_pairs(21, count=16)
+    ba = BatchAligner(band_words=8, lane_multiple=8, mesh=mesh)
+    costs = ba.cost(pairs)
+    assert list(costs) == [oracle.levenshtein(a, b) for a, b in pairs]
+
+
+def test_batch_aligner_cigars():
+    pairs = _mixed_pairs(40, count=6)
+    ba = BatchAligner(band_words=8, lane_multiple=8)
+    for (a, b), (cost, cigar) in zip(pairs, ba.align(pairs)):
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
