@@ -70,6 +70,26 @@ def shift_schedule(n_max: int, m_max: int, band_words: int) -> tuple[int, int]:
     return lo_max, m_words
 
 
+def shift_at_array(n_max: int, s_words: int, band_words: int) -> np.ndarray:
+    """Host-precomputed schedule: shift_at[i] = 1 iff the window slides one
+    word down before processing column i.  Shared by the jnp reference and
+    the Pallas kernel so both are bit-identical."""
+    SW = min(band_words, s_words)
+    lo_max = max(0, s_words - SW)
+    half = (SW * W) // 2
+    m_max = s_words * W
+    n = max(n_max, 1)
+    i = np.arange(n_max, dtype=np.int64)
+    center = (2 * i + 1) * m_max // (2 * n)
+    desired = np.clip((center - half) // W, 0, lo_max)
+    shift = np.diff(np.concatenate([[0], desired])).astype(np.int32)
+    # One shift per column max (guaranteed by bucketing: m_max <= W*n_max).
+    assert (shift >= 0).all() and (shift <= 1).all(), (
+        "bucket too skewed: m_max > W * n_max"
+    )
+    return shift
+
+
 def banded_cost_block(a0, a1, pb0, pb1, n, m, band_words: int):
     """Banded edit distances (upper bounds) for one shape bucket.
 
@@ -86,27 +106,16 @@ def banded_cost_block(a0, a1, pb0, pb1, n, m, band_words: int):
     n_max, B = a0.shape
     S = pb0.shape[0]
     SW = min(band_words, S)
-    lo_max, _ = shift_schedule(n_max, S * W, SW)
     n = n.astype(jnp.int32)
     m = m.astype(jnp.int32)
-
-    half = (SW * W) // 2
-
-    def desired_lo(i):
-        # Window top word for column i, tracking the bucket diagonal.
-        center = (2 * i + 1) * m_max_i // (2 * n_max_i)
-        return jnp.clip((center - half) // W, 0, lo_max)
-
-    m_max_i = jnp.int32(S * W)
-    n_max_i = jnp.int32(max(n_max, 1))
+    shift_at = jnp.asarray(shift_at_array(n_max, S, SW))
 
     def body(i, state):
         vp, vm, win0, win1, top_val, lo, result, top_rows = state
 
-        # --- slide the window down while behind the schedule (<= 1 word per
-        # column since m_max <= W * n_max is guaranteed by bucketing).
-        want = desired_lo(i)
-        do_shift = lo < want
+        # --- slide the window down per the host-precomputed schedule (<= 1
+        # word per column since bucketing guarantees m_max <= W * n_max).
+        do_shift = shift_at[i] > 0
         top_val = jnp.where(
             do_shift, top_val + _popcount(vp[0]) - _popcount(vm[0]), top_val
         )

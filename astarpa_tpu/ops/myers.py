@@ -147,6 +147,53 @@ def value_to(vp, vm, j):
     return jnp.sum(popcount(vp & mask) - popcount(vm & mask), axis=-1)
 
 
+def compute_block_eq(eqs, vp, vm, hp_in, hm_in):
+    """Like :func:`compute_block` but over precomputed match masks.
+
+    ``eqs``: (ncols, nwords) uint32 — one mask row per column.  Used by the
+    scatter-profile (wildcard) path where eq is a table lookup rather than
+    the BitProfile xor trick (cf. `simd/scatter_profile.rs:6-76`).
+    """
+
+    def col_step(v, xs):
+        vp, vm = v
+        eq, hp, hm = xs
+
+        def word_step(h, xs_w):
+            hp, hm = h
+            eq_w, vp_w, vm_w = xs_w
+            vp_w, vm_w, hp, hm = step_word(eq_w, vp_w, vm_w, hp, hm)
+            return (hp, hm), (vp_w, vm_w)
+
+        (hp, hm), (vp, vm) = jax.lax.scan(word_step, (hp, hm), (eq, vp, vm))
+        return (vp, vm), (hp, hm)
+
+    (vp, vm), (hp_out, hm_out) = jax.lax.scan(col_step, (vp, vm), (eqs, hp_in, hm_in))
+    return vp, vm, hp_out, hm_out
+
+
+def fill_block_eq(eqs, vp, vm, hp_in, hm_in):
+    """:func:`fill_block` over precomputed match masks; returns per-column v."""
+
+    def col_step(v, xs):
+        vp, vm = v
+        eq, hp, hm = xs
+
+        def word_step(h, xs_w):
+            hp, hm = h
+            eq_w, vp_w, vm_w = xs_w
+            vp_w, vm_w, hp, hm = step_word(eq_w, vp_w, vm_w, hp, hm)
+            return (hp, hm), (vp_w, vm_w)
+
+        (hp, hm), (vp, vm) = jax.lax.scan(word_step, (hp, hm), (eq, vp, vm))
+        return (vp, vm), (vp, vm, hp, hm)
+
+    (vp, vm), (vp_cols, vm_cols, hp_out, hm_out) = jax.lax.scan(
+        col_step, (vp, vm), (eqs, hp_in, hm_in)
+    )
+    return vp, vm, hp_out, hm_out, vp_cols, vm_cols
+
+
 # --- Batched full-rectangle NW cost (the minimum end-to-end slice) ---------
 
 

@@ -1,0 +1,235 @@
+"""Pallas TPU kernel: banded batched Myers DP (the production cost path).
+
+Same algorithm and bit-exact schedule as :func:`astarpa_tpu.ops.banded.
+banded_cost_block` (the jnp reference it is tested against), engineered for
+the VPU:
+
+- Pairs occupy both sublanes *and* lanes: state arrays are
+  ``(SW, P8, 128)`` uint32 with ``P8 * 128`` pairs per program, so each of
+  the SW unrolled word-steps is a full-tile elementwise op advancing
+  ``P8*128*32`` DP cells (the staggered full-rectangle kernel in
+  :mod:`pallas_myers` instead lays one pair's words on sublanes).
+- The word loop is a *python* loop (SW is static) — fully unrolled, the
+  horizontal diff flows register-to-register, no dynamic indexing on the
+  hot path.
+- ``a``-char planes stream from HBM in column blocks via the grid; v/window
+  state persists in VMEM scratch across the sequential column-block grid
+  dimension.
+- The window slide consumes the host-precomputed rational schedule
+  (``shift_at``, scalar-prefetched; see banded.shift_at_array) and costs a
+  predicated register rotation every ~W columns.
+
+Band doubling, bucketing, and acceptance live in
+:mod:`astarpa_tpu.parallel.runner`; this kernel is cost-only (the CIGAR
+path recomputes stripes via the block aligner).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .banded import shift_at_array
+from .bitpack import W
+
+U32 = jnp.uint32
+_ONES = 0xFFFFFFFF
+INF32 = 1 << 30
+
+
+def _banded_kernel(
+    # scalar prefetch
+    shift_ref,
+    # inputs
+    a0_ref, a1_ref, pb0_ref, pb1_ref, n_ref, m_ref,
+    # outputs
+    result_ref,
+    # scratch
+    vp_ref, vm_ref, w0_ref, w1_ref, top_val_ref, top_rows_ref, res_ref, lo_ref,
+    *, SW: int, CB: int,
+):
+    k = pl.program_id(1)
+    S = pb0_ref.shape[0]
+    P8 = n_ref.shape[1]
+
+    @pl.when(k == 0)
+    def _init():
+        vp_ref[:] = jnp.full((SW, P8, 128), _ONES, U32)
+        vm_ref[:] = jnp.zeros((SW, P8, 128), U32)
+        w0_ref[:] = pb0_ref[0:SW, 0]
+        w1_ref[:] = pb1_ref[0:SW, 0]
+        top_val_ref[:] = jnp.zeros((P8, 128), jnp.int32)
+        top_rows_ref[:] = jnp.zeros((P8, 128), jnp.int32)
+        # Pairs with n == 0 are captured here (cost = m).
+        res_ref[:] = m_ref[0]
+        lo_ref[0] = 0
+
+    n = n_ref[0]
+    m = m_ref[0]
+    pc = lambda x: jax.lax.population_count(x).astype(jnp.int32)
+
+    def col(t, carry):
+        i = k * CB + t
+
+        # --- window slide, per the prefetched schedule (real control flow:
+        # Mosaic cannot select whole vectors on a scalar predicate).
+        @pl.when(shift_ref[i] > 0)
+        def _shift():
+            vp = vp_ref[:]
+            vm = vm_ref[:]
+            top_val_ref[:] = top_val_ref[:] + pc(vp[0]) - pc(vm[0])
+            top_rows_ref[:] = top_rows_ref[:] + W
+            lo = lo_ref[0]
+            nxt = jnp.minimum(lo + SW, S - 1)
+            vp_ref[:] = jnp.concatenate(
+                [vp[1:], jnp.full((1, P8, 128), _ONES, U32)], 0
+            )
+            vm_ref[:] = jnp.concatenate([vm[1:], jnp.zeros((1, P8, 128), U32)], 0)
+            w0_ref[:] = jnp.concatenate([w0_ref[1:], pb0_ref[pl.ds(nxt, 1), 0]], 0)
+            w1_ref[:] = jnp.concatenate([w1_ref[1:], pb1_ref[pl.ds(nxt, 1), 0]], 0)
+            lo_ref[0] = lo + 1
+
+        # --- one banded column; the word loop is fully unrolled.
+        ca0 = a0_ref[t, 0]
+        ca1 = a1_ref[t, 0]
+        vp = vp_ref[:]
+        vm = vm_ref[:]
+        w0 = w0_ref[:]
+        w1 = w1_ref[:]
+        hp = jnp.ones((P8, 128), U32)
+        hm = jnp.zeros((P8, 128), U32)
+        new_vp = []
+        new_vm = []
+        for w in range(SW):
+            eqw = (ca0 ^ w0[w]) & (ca1 ^ w1[w])
+            vpw, vmw = vp[w], vm[w]
+            vx = eqw | vmw
+            eq2 = eqw | hm
+            hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+            hpo = vmw | ~(hx | vpw)
+            hmo = vpw & hx
+            hp_next = hpo >> (W - 1)
+            hm_next = hmo >> (W - 1)
+            hpo = (hpo << 1) | hp
+            hmo = (hmo << 1) | hm
+            new_vp.append(hmo | ~(vx | hpo))
+            new_vm.append(hpo & vx)
+            hp, hm = hp_next, hm_next
+        vp2 = jnp.stack(new_vp)
+        vm2 = jnp.stack(new_vm)
+
+        active = i < n  # (P8, 128) vector predicate
+        vp_ref[:] = jnp.where(active[None], vp2, vp)
+        vm_ref[:] = jnp.where(active[None], vm2, vm)
+        top_val_ref[:] = jnp.where(active, top_val_ref[:] + 1, top_val_ref[:])
+
+        # --- capture per-pair results at their final column.
+        done = i == n - 1
+
+        @pl.when(jnp.any(done))
+        def _capture():
+            vp = vp_ref[:]
+            vm = vm_ref[:]
+            rows = m - top_rows_ref[:]
+            base = jax.lax.broadcasted_iota(jnp.int32, (SW, P8, 128), 0) * W
+            full = jnp.clip(rows[None] - base, 0, W)
+            mask = jnp.where(
+                full >= W,
+                U32(_ONES),
+                (U32(1) << full.astype(jnp.uint32)) - U32(1),
+            )
+            val = jnp.sum(pc(vp & mask) - pc(vm & mask), axis=0)
+            got = top_val_ref[:] + val
+            got = jnp.where(rows <= SW * W, got, INF32)
+            res_ref[:] = jnp.where(done, got, res_ref[:])
+
+        return carry
+
+    jax.lax.fori_loop(0, CB, col, 0)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        result_ref[0] = res_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_words", "col_block", "pairs_per_program", "interpret")
+)
+def banded_cost_tpu(
+    a0, a1, pb0, pb1, n, m, band_words: int,
+    col_block: int = 512, pairs_per_program: int = 1024, interpret: bool = False,
+):
+    """Banded batched edit-distance upper bounds (Pallas kernel).
+
+    Same contract as :func:`astarpa_tpu.ops.banded.banded_cost`:
+    a0/a1 (n_max, B), pb0/pb1 (S, B), n/m (B,) -> (B,) int32.
+    """
+    n_max, B = a0.shape
+    S = pb0.shape[0]
+    SW = min(band_words, S)
+    PP = min(pairs_per_program, B)
+    assert B % PP == 0 and PP % 128 == 0, (B, PP)
+    P8 = PP // 128
+
+    CB = min(col_block, max(n_max, 1))
+    n_blocks = -(-n_max // CB)
+    n_pad = n_blocks * CB
+    if n_pad != n_max:
+        pad = jnp.zeros((n_pad - n_max, B), jnp.uint32)
+        a0 = jnp.concatenate([a0, pad], 0)
+        a1 = jnp.concatenate([a1, pad], 0)
+
+    shift = shift_at_array(n_max, S, SW)
+    shift = np.concatenate([shift, np.zeros(n_pad - n_max, np.int32)]).astype(np.int32)
+
+    a0t = a0.reshape(n_pad, B // PP, P8, 128)
+    a1t = a1.reshape(n_pad, B // PP, P8, 128)
+    pb0t = pb0.reshape(S, B // PP, P8, 128)
+    pb1t = pb1.reshape(S, B // PP, P8, 128)
+    nt = n.astype(jnp.int32).reshape(B // PP, P8, 128)
+    mt = m.astype(jnp.int32).reshape(B // PP, P8, 128)
+
+    kernel = functools.partial(_banded_kernel, SW=SW, CB=CB)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // PP, n_blocks),
+            in_specs=[
+                pl.BlockSpec((CB, 1, P8, 128), lambda p, k, s: (k, p, 0, 0)),
+                pl.BlockSpec((CB, 1, P8, 128), lambda p, k, s: (k, p, 0, 0)),
+                pl.BlockSpec((S, 1, P8, 128), lambda p, k, s: (0, p, 0, 0)),
+                pl.BlockSpec((S, 1, P8, 128), lambda p, k, s: (0, p, 0, 0)),
+                pl.BlockSpec((1, P8, 128), lambda p, k, s: (p, 0, 0)),
+                pl.BlockSpec((1, P8, 128), lambda p, k, s: (p, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, P8, 128), lambda p, k, s: (p, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((P8, 128), jnp.int32),
+                pltpu.VMEM((P8, 128), jnp.int32),
+                pltpu.VMEM((P8, 128), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B // PP, P8, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * n_pad * SW * B,
+            bytes_accessed=(2 * n_pad * B + 4 * S * B) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(shift), a0t, a1t, pb0t, pb1t, nt, mt)
+    return out.reshape(B)

@@ -1,17 +1,15 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Metric (BASELINE.json north star): aligned Gbp/s/chip.  Current benchmark
-config: batched bitpacked cost-only NW via the Pallas staggered kernel on
-1kbp e=1% pairs (BASELINE config #1); later rounds switch to the banded
-10kbp e=5% config (#2) as the batched band-doubling pipeline lands.
+Metric (BASELINE.json north star): aligned Gbp/s/chip on 10kbp e=5% pairs
+(BASELINE config #2, cost path): the banded batched Myers kernel
+(`astarpa_tpu/ops/pallas_banded.py`) at the smallest certified-exact band,
+batch=1024, exactness cross-checked against the NumPy oracle per run.
 
 ``vs_baseline`` compares against the single-core A*PA2 reference kernel
-throughput derived from the in-repo criterion snapshot
-(`pa-bitpacking/bench.json` 256x64 scalar row = 1383.7ns => ~11.8 cells/ns,
-x2 SIMD factor per `pa-bitpacking/src/lib.rs:6-7` => ~23.7 DP cells/ns/core).
-For config #1 the reference would band-double (~n * 4*64 cells/pair), so its
-aligned throughput is ~23.7e9 / 256 ~= 0.092 Gbp/s/core; we charge ourselves
-actual wall time on the full rectangle.
+doing the *same banded work* (n * band_words * 32 cells/pair) at its
+measured ~23.7 DP cells/ns/core (in-repo criterion snapshot
+`pa-bitpacking/bench.json` 256x64 scalar row = 1383.7ns => ~11.8 cells/ns,
+x2 SIMD factor per `pa-bitpacking/src/lib.rs:6-7`).
 
 Timing methodology: this environment tunnels the TPU through a proxy whose
 ``block_until_ready`` can return before execution completes and whose
@@ -22,36 +20,52 @@ prevent hoisting) and force a host readback of the reduced result.
 
 from __future__ import annotations
 
-import functools
 import json
 import time
 
 import numpy as np
+
+N = 10_000
+E = 0.05
+BATCH = 1024
+BAND_WORDS = 24
+K = 8
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from astarpa_tpu import generate
-    from astarpa_tpu.ops import pallas_myers
+    from astarpa_tpu import generate, oracle
+    from astarpa_tpu.ops import banded, pallas_banded, pallas_myers
 
-    n = 1000
-    e = 0.01
-    batch = 1024
-    K = 20
-    pairs = generate.generate_batch(batch, n, e, generate.ErrorModel.UNIFORM, seed=42)
+    pairs = generate.generate_batch(8, N, E, generate.ErrorModel.UNIFORM, seed=42)
+    pairs = pairs * (BATCH // len(pairs))
     (a0, a1, pb0, pb1, ns, ms), _ = pallas_myers.pack_batch_staggered(
-        pairs, lane_multiple=batch
+        pairs, lane_multiple=BATCH
     )
+
+    # Exactness gate: certified band results must match the oracle.
+    costs = np.asarray(
+        pallas_banded.banded_cost_tpu(a0, a1, pb0, pb1, ns, ms, band_words=BAND_WORDS)
+    )
+    thr = banded.band_threshold(
+        BAND_WORDS, np.asarray(ns), np.asarray(ms), a0.shape[0], pb0.shape[0] * 32
+    )
+    assert (costs <= thr).all(), "band too narrow for config #2"
+    expected = [oracle.levenshtein(a, b) for a, b in pairs[:8]]
+    assert list(costs[:8]) == expected, (list(costs[:8]), expected)
 
     @jax.jit
     def many(a0, a1, pb0, pb1, ns, ms):
         def body(i, acc):
             a0i = a0 ^ i.astype(jnp.uint32)
-            c = pallas_myers.nw_cost(a0i, a1, pb0, pb1, ns, ms, lanes_per_program=256)
+            c = pallas_banded.banded_cost_tpu(
+                a0i, a1, pb0, pb1, ns, ms, band_words=BAND_WORDS
+            )
             return acc + c
-        return jax.lax.fori_loop(0, K, body, jnp.zeros((batch,), jnp.int32))
+
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((BATCH,), jnp.int32))
 
     # Warmup / compile (forced readback).
     np.asarray(many(a0, a1, pb0, pb1, ns, ms))
@@ -63,26 +77,27 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     dt = min(times) / K
 
-    total_bp = batch * n
+    total_bp = BATCH * N
     gbps = total_bp / dt / 1e9
-    S = pb0.shape[0]
-    n_max = a0.shape[0]
-    cells_per_s = n_max * S * 32 * batch / dt
+    cells_per_s = N * BAND_WORDS * 32 * BATCH / dt
 
-    ref_gbps = 23.7e9 / (4 * 64) / 1e9  # ~0.0926
+    # Reference single core doing the same banded work at ~23.7 cells/ns.
+    ref_gbps = 23.7e9 / (BAND_WORDS * 32) / 1e9
 
     result = {
-        "metric": "aligned Gbp/s/chip (config#1: 1kbp e=1% cost-only, batch=1024)",
+        "metric": f"aligned Gbp/s/chip (config#2: {N}bp e={E} banded cost, batch={BATCH})",
         "value": round(gbps, 4),
         "unit": "Gbp/s",
         "vs_baseline": round(gbps / ref_gbps, 3),
         "detail": {
             "device": str(jax.devices()[0]),
-            "batch": batch,
-            "pair_bp": n,
+            "batch": BATCH,
+            "pair_bp": N,
+            "band_rows": BAND_WORDS * 32,
             "ms_per_batch": round(dt * 1e3, 4),
             "dp_cells_per_s": f"{cells_per_s:.3e}",
-            "kernel": "pallas staggered (S x lanes uint32)",
+            "kernel": "pallas banded (SW x pairs-tile uint32)",
+            "exactness": "certified + oracle-checked this run",
         },
     }
     print(json.dumps(result))
