@@ -120,10 +120,11 @@ class AstarPa2Params:
 class AstarPa2Instance:
     """One (a, b) alignment instance (mirror of `domain.rs:45-62`)."""
 
-    def __init__(self, a: bytes, b: bytes, params: AstarPa2Params):
+    def __init__(self, a: bytes, b: bytes, params: AstarPa2Params, v=None):
         self.a = a
         self.b = b
         self.params = params
+        self.v = v
         self.stats = AstarPa2Stats()
         if params.domain == Domain.ASTAR:
             h_factory = params.heuristic if params.heuristic is not None else NoCost()
@@ -298,6 +299,11 @@ class AstarPa2Instance:
                 blocks.reuse_next_block(i_range, j_range)
             else:
                 blocks.compute_next_block(i_range, j_range)
+                if self.v is not None:
+                    self.v.expand_block(
+                        Pos(i_range[0], j_range[0]),
+                        Pos(i_range[1] - i_range[0], j_range[1] - j_range[0] + 1),
+                    )
 
             next_fixed_j_range = self.fixed_j_range(
                 i_range[1], f_max, prev_fixed_j_range, blocks.last_block()
@@ -333,13 +339,15 @@ def make_blocks(params: AstarPa2Params, a: bytes, b: bytes, trace: bool) -> Bloc
 class AstarPa2:
     """Typed aligner (mirror of `astarpa2/src/lib.rs:56-215`)."""
 
-    def __init__(self, params: AstarPa2Params, trace: bool = True):
+    def __init__(self, params: AstarPa2Params, trace: bool = True, v=None):
         self.params = params
         self.trace = trace
+        self.v = v
 
     def cost_or_align(self, a: bytes, b: bytes, trace: bool):
         params = self.params
-        inst = AstarPa2Instance(a, b, params)
+        vi = self.v.build(a, b) if self.v is not None else None
+        inst = AstarPa2Instance(a, b, params, vi)
         h0 = inst.h0()
         dt = params.doubling
         if dt.kind == "none":
@@ -370,6 +378,9 @@ class AstarPa2:
         else:
             raise NotImplementedError(dt.kind)
         assert h0 <= cost, f"Heuristic at start {h0} > final cost {cost}."
+        if vi is not None:
+            vi.new_layer()
+            vi.last_frame(cigar)
         return cost, cigar, inst.stats
 
     def align(self, a: bytes, b: bytes):
