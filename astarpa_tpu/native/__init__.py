@@ -1,0 +1,92 @@
+"""ctypes bindings to the native C++ A* runtime (``native/``).
+
+The shared library is built on demand with ``g++ -O3 -march=native`` (no
+pybind11 in this environment; plain C ABI + ctypes).  The Python runtime in
+:mod:`astarpa_tpu.astar` is the semantic reference; this is the production
+implementation of the same pointer-chasing search (SURVEY.md §3.1 hot loop).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+from ..types import Cigar
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_SO = _NATIVE_DIR / "libastarpa_native.so"
+_SRC = _NATIVE_DIR / "astarpa_native.cpp"
+
+_lib = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-s", "-C", str(_NATIVE_DIR), "libastarpa_native.so"],
+        check=True,
+    )
+
+
+def load():
+    """Load (building if needed) the native library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        _build()
+    lib = ctypes.CDLL(str(_SO))
+    lib.astarpa_align.restype = ctypes.c_int
+    lib.astarpa_align.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.astarpa_free.restype = None
+    lib.astarpa_free.argtypes = [ctypes.c_char_p]
+    _lib = lib
+    return lib
+
+
+_PRUNE = {"none": 0, "start": 1, "end": 2, "both": 3}
+
+
+def astarpa_native(
+    a: bytes,
+    b: bytes,
+    r: int = 2,
+    k: int = 15,
+    prune: str = "start",
+    dt: bool = True,
+    use_gap_cost: bool = True,
+    with_stats: bool = False,
+):
+    """Exact alignment via the native A* runtime.
+
+    Returns ``(cost, Cigar)`` (or ``(cost, Cigar, stats_dict)``).
+    """
+    lib = load()
+    cigar_p = ctypes.c_char_p()
+    stats = (ctypes.c_int64 * 5)()
+    prune_mode = _PRUNE[prune.value if hasattr(prune, "value") else prune]
+    cost = lib.astarpa_align(
+        a, len(a), b, len(b), r, k, prune_mode, int(dt), int(use_gap_cost),
+        ctypes.byref(cigar_p), stats,
+    )
+    cigar = Cigar.from_string(cigar_p.value.decode()) if cigar_p.value else Cigar()
+    # ctypes copies the value; free the C allocation.
+    lib.astarpa_free(cigar_p)
+    if with_stats:
+        keys = ("expanded", "explored", "extended", "reordered", "pruned")
+        return cost, cigar, dict(zip(keys, list(stats)))
+    return cost, cigar
+
+
+def available() -> bool:
+    """True if the native library can be built/loaded on this machine."""
+    try:
+        load()
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,40 @@
+/* astarpa_tpu native C API (astarpa-c parity; cf. the reference's
+ * astarpa-c/astarpa.h:15-65).
+ *
+ * Sequences must be ACGT bytes.  Returned CIGAR strings are malloc'd and
+ * must be released with astarpa_free().
+ */
+#ifndef ASTARPA_TPU_NATIVE_H
+#define ASTARPA_TPU_NATIVE_H
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* Align with the default A*PA parameters: GCSH, inexact matches r=2,
+ * seed length k=15, prune-by-start, diagonal-transition state space. */
+int astarpa(const uint8_t* a, int n, const uint8_t* b, int m,
+            char** cigar_out);
+
+/* Align with custom GCSH parameters (r in {1,2}); prune_end also prunes
+ * matches by their end position. */
+int astarpa_gcsh(const uint8_t* a, int n, const uint8_t* b, int m, int r,
+                 int k, int prune_end, char** cigar_out);
+
+/* Full-control entry: prune 0=none 1=start 2=end 3=both; dt selects the
+ * diagonal-transition state space; use_gap_cost selects GCSH over CSH.
+ * stats_out (optional, length >= 5) receives expanded, explored, extended,
+ * reordered, pruned. */
+int astarpa_align(const uint8_t* a, int n, const uint8_t* b, int m, int r,
+                  int k, int prune, int dt, int use_gap_cost,
+                  char** cigar_out, int64_t* stats_out);
+
+void astarpa_free(char* p);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* ASTARPA_TPU_NATIVE_H */

@@ -1,0 +1,66 @@
+"""Native C++ A* runtime: parity vs the Python runtime and the oracle."""
+
+import pytest
+
+from astarpa_tpu import generate, oracle
+from astarpa_tpu.native import astarpa_native, available
+
+pytestmark = pytest.mark.skipif(not available(), reason="no native toolchain")
+
+
+@pytest.mark.parametrize("dt", [False, True], ids=["astar", "astar-dt"])
+@pytest.mark.parametrize("prune", ["none", "start", "end", "both"])
+@pytest.mark.parametrize("r", [1, 2])
+def test_native_matrix(r, prune, dt):
+    for k in (8, 12):
+        seed = k * 100 + r
+        for n in (20, 80, 200, 500):
+            for e in (0.0, 0.1, 0.25):
+                seed += 1
+                a, b = generate.uniform_seeded(n, e, seed)
+                cost, cigar = astarpa_native(a, b, r=r, k=k, prune=prune, dt=dt)
+                assert cost == oracle.levenshtein(a, b), (n, e, k, r, prune, dt)
+                assert cigar.verify(a, b) == cost
+
+
+def test_native_csh():
+    for seed in (1, 2, 3):
+        a, b = generate.uniform_seeded(150, 0.15, seed)
+        cost, cigar = astarpa_native(a, b, r=1, k=8, use_gap_cost=False)
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
+def test_native_matches_python_default():
+    from astarpa_tpu.astar import astarpa as astarpa_py
+
+    for seed in (5, 6):
+        for model in generate.ErrorModel:
+            a, b = generate.generate_model(300, 0.12, model, seed)
+            c_native, g_native = astarpa_native(a, b)
+            c_py, _ = astarpa_py(a, b)
+            assert c_native == c_py
+            assert g_native.verify(a, b) == c_native
+
+
+def test_native_stats():
+    a, b = generate.uniform_seeded(400, 0.1, 7)
+    cost, cigar, stats = astarpa_native(a, b, r=1, k=10, with_stats=True)
+    assert cost == oracle.levenshtein(a, b)
+    assert stats["expanded"] > 0
+    assert stats["explored"] >= stats["expanded"]
+    assert stats["pruned"] > 0
+
+
+def test_native_tricky():
+    cases = [
+        (b"A", b"A"),
+        (b"A", b"C"),
+        (b"ACGT" * 16, b"ACGT" * 16),
+        (b"AAAAAAAAAAAAAAAA", b"TTTTTTTTTTTTTTTT"),
+        (b"ACGTACGTACGTACGTACGT", b"ACGTACGTACGTACGTACGT"[::-1]),
+    ]
+    for a, b in cases:
+        cost, cigar = astarpa_native(a, b, r=1, k=4)
+        assert cost == oracle.levenshtein(a, b), (a, b)
+        assert cigar.verify(a, b) == cost
