@@ -54,11 +54,17 @@ class Match:
 
 @dataclass(frozen=True)
 class MatchConfig:
-    """`matches.rs:388-423` (fixed-length seeds only)."""
+    """`matches.rs:388-423`.
+
+    Fixed-length seeds of length ``k``, or — when ``max_matches`` is set —
+    variable-length minimal-unique-match seeds (`LengthConfig::Max`,
+    suffix-array path; ``k`` is then ignored).
+    """
 
     k: int
     r: int
     local_pruning: int = 0
+    max_matches: int | None = None
 
 
 @dataclass
@@ -152,7 +158,13 @@ class MatchBuilder:
 
 
 def find_matches(a: bytes, b: bytes, config: MatchConfig, transform_filter: bool) -> Matches:
-    """Dispatch on r (`matches.rs:17-39`)."""
+    """Dispatch on length config and r (`matches.rs:17-39`)."""
+    if config.max_matches is not None:
+        # Variable-k minimal unique matches; no transform filter, like the
+        # reference's MUM path (`suffix_array.rs` MatchBuilder::new(.., false)).
+        from .suffix_array import minimal_unique_matches
+
+        return minimal_unique_matches(a, b, config.r, config.max_matches)
     ca, cb = seq_to_codes(a), seq_to_codes(b)
     if config.r == 1:
         return _find_exact(ca, cb, config, transform_filter)

@@ -1,0 +1,122 @@
+"""Tests for the auxiliary components: testing harness, timer, converters,
+variable-k matching, PathHeuristic, fuzzer plumbing."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from astarpa_tpu import generate, oracle, testing
+from astarpa_tpu.astar import AstarPa
+from astarpa_tpu.heuristic.csh import CSH, GCSH
+from astarpa_tpu.heuristic.matches import MatchConfig
+from astarpa_tpu.heuristic.prune import Prune, Pruning
+from astarpa_tpu.heuristic.suffix_array import minimal_unique_matches
+from astarpa_tpu.utils.timer import Timer
+
+
+class _Obj:
+    calls = 0
+    dur = 0.0
+
+
+def test_sampling_timer():
+    o = _Obj()
+    for _ in range(128):
+        t = Timer.each(64, o, "calls")
+        t.end(o, "dur")
+    assert o.calls == 128
+    assert o.dur >= 0.0
+
+
+def test_testing_harness_astarpa():
+    from astarpa_tpu.astar import AstarPa
+
+    aligner = AstarPa(dt=True, h=GCSH(MatchConfig(k=8, r=1), Pruning(Prune.START)))
+    testing.check_aligner_up_to(aligner, max_n=120, samples=10)
+
+
+def test_testing_harness_catches_bad_aligner():
+    class Bad:
+        def align(self, a, b):
+            return 0, None
+
+    with pytest.raises(AssertionError):
+        testing.check_aligner_up_to(Bad(), max_n=50, samples=3)
+
+
+def test_converters(tmp_path):
+    from astarpa_tpu.pairs_io import read_pairs, txt_to_seq, nanosim_to_seq
+
+    txt = tmp_path / "in.txt"
+    txt.write_bytes(b"ACGT\nACGA\nTTTT\nTTAT\n")
+    n = txt_to_seq(str(txt), str(tmp_path / "out.seq"))
+    assert n == 2
+    pairs = list(read_pairs(str(tmp_path / "out.seq")))
+    assert pairs == [(b"ACGT", b"ACGA"), (b"TTTT", b"TTAT")]
+
+    ref = tmp_path / "ref.fa"
+    ref.write_bytes(b">chr1\nACGTACGTACGTACGTACGT\n")
+    reads = tmp_path / "reads.fa"
+    # chrom_refpos_aligned_..._head_mid_tail
+    reads.write_bytes(b">chr1_4_aligned_0_F_2_8_3\nTTACGTACGTAGG\n")
+    n = nanosim_to_seq(str(ref), str(reads), str(tmp_path / "ns.seq"))
+    assert n == 1
+    (pair,) = list(read_pairs(str(tmp_path / "ns.seq")))
+    assert pair == (b"ACGTACGT", b"ACGTACGT")
+
+
+def test_variable_k_matching_in_astar():
+    for r in (1, 2):
+        h = CSH(MatchConfig(k=0, r=r, max_matches=4), Pruning.disabled())
+        aligner = AstarPa(dt=True, h=h)
+        for seed in (1, 2):
+            a, b = generate.uniform_seeded(250, 0.12, seed)
+            (cost, cigar), _ = aligner.align_with_stats(a, b)
+            assert cost == oracle.levenshtein(a, b)
+            assert cigar.verify(a, b) == cost
+
+
+def test_mum_matches_are_bounded():
+    a, b = generate.uniform_seeded(400, 0.1, 9)
+    ms = minimal_unique_matches(a, b, 1, max_matches=2)
+    # Each seed has at most max_matches occurrences.
+    from collections import Counter
+
+    per_seed = Counter(m.start.i for m in ms.matches)
+    assert all(v <= 2 for v in per_seed.values())
+
+
+def test_path_heuristic():
+    from astarpa_tpu.experimental import PathHeuristic
+
+    inner = GCSH(MatchConfig(k=8, r=1), Pruning.disabled())
+    ph = PathHeuristic(inner)
+    for seed in (3, 4):
+        a, b = generate.uniform_seeded(200, 0.1, seed)
+        cost, inst = ph.build_with_cost(a, b)
+        assert cost == oracle.levenshtein(a, b)
+        # The pre-pruned heuristic still admits the optimal cost.
+        aligner = AstarPa(dt=False, h=_Prebuilt(inst))
+        (c2, cigar), _ = aligner.align_with_stats(a, b)
+        assert c2 == cost
+        assert cigar.verify(a, b) == c2
+
+
+class _Prebuilt:
+    def __init__(self, inst):
+        self.inst = inst
+
+    def build(self, a, b):
+        return self.inst
+
+
+def test_fuzzer_smoke():
+    r = subprocess.run(
+        [sys.executable, "scripts/fuzz.py", "--aligner", "astarpa", "--iters", "15",
+         "--max-n", "80", "--seed", "7"],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "no failures" in r.stdout
