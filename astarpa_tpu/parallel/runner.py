@@ -92,7 +92,7 @@ class BatchAligner:
             n_max, S = a0.shape[0], pb0.shape[0]
             sw = min(band, S)
             costs = np.asarray(
-                banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw)
+                self._kernel(a0, a1, pb0, pb1, n, m, sw, S)
             )[:B0]
             stats.cells_computed += n_max * sw * W * len(pending)
             if sw >= S:
@@ -112,6 +112,33 @@ class BatchAligner:
             stats.band_retries += 1
             band *= 2
         raise AssertionError("band doubling did not converge")
+
+    def _kernel(self, a0, a1, pb0, pb1, n, m, sw: int, S: int):
+        """Dispatch: the Pallas kernel on a single TPU when the bucket fits
+        its constraints, else the portable jnp formulation (bit-identical)."""
+        import jax
+
+        from ..ops import banded
+
+        B = a0.shape[1]
+        use_pallas = (
+            self.mesh is None
+            and jax.default_backend() == "tpu"
+            and B % 128 == 0
+            # VMEM budget: 4 window arrays + full b-profile per program.
+            and (4 * sw + 2 * S) * min(1024, B) * 4 < 8 * 2**20
+        )
+        if use_pallas:
+            from ..ops.pallas_banded import banded_cost_tpu
+
+            pp = min(1024, B)
+            while B % pp:
+                pp //= 2
+            if pp >= 128:
+                return banded_cost_tpu(
+                    a0, a1, pb0, pb1, n, m, band_words=sw, pairs_per_program=pp
+                )
+        return banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw)
 
     def _shard(self, args):
         if self.mesh is None:

@@ -89,3 +89,25 @@ def test_batch_aligner_cigars():
     for (a, b), (cost, cigar) in zip(pairs, ba.align(pairs)):
         assert cost == oracle.levenshtein(a, b)
         assert cigar.verify(a, b) == cost
+
+
+def test_pallas_banded_parity_interpret():
+    """The Pallas kernel is bit-identical to the jnp reference (interpret
+    mode on CPU; the same check runs compiled on real TPU in bench.py)."""
+    from astarpa_tpu.ops.pallas_banded import banded_cost_tpu
+
+    pairs = [
+        generate.uniform_seeded(300 + (s * 37) % 120, [0.02, 0.08, 0.15][s % 3], s)
+        for s in range(128)
+    ]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=128)
+    a0, a1, pb0, pb1, n, m = args
+    for sw in (4, 8):
+        ref = np.asarray(banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw))
+        got = np.asarray(
+            banded_cost_tpu(
+                a0, a1, pb0, pb1, n, m,
+                band_words=sw, pairs_per_program=128, interpret=True,
+            )
+        )
+        assert (ref == got).all()
