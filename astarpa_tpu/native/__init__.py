@@ -45,6 +45,13 @@ def load():
     ]
     lib.astarpa_free.restype = None
     lib.astarpa_free.argtypes = [ctypes.c_char_p]
+    lib.trace_banded.restype = ctypes.c_int
+    lib.trace_banded.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p),
+    ]
     _lib = lib
     return lib
 
@@ -80,6 +87,33 @@ def astarpa_native(
     if with_stats:
         keys = ("expanded", "explored", "extended", "reordered", "pruned")
         return cost, cigar, dict(zip(keys, list(stats)))
+    return cost, cigar
+
+
+def trace_banded(a: bytes, b: bytes, vp_cols, vm_cols, lo, band_words: int):
+    """CIGAR from stored banded window planes (one pair).
+
+    vp_cols/vm_cols: (n, SW) uint32 arrays; lo: (n,) int32 window top word
+    per column.  Returns (cost, Cigar).
+    """
+    import numpy as np
+
+    lib = load()
+    vp = np.ascontiguousarray(vp_cols, dtype=np.uint32)
+    vm = np.ascontiguousarray(vm_cols, dtype=np.uint32)
+    lo = np.ascontiguousarray(lo, dtype=np.int32)
+    cigar_p = ctypes.c_char_p()
+    cost = lib.trace_banded(
+        a, len(a), b, len(b),
+        vp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        band_words,
+        ctypes.byref(cigar_p),
+    )
+    assert cost >= 0, "banded traceback failed (inconsistent planes)"
+    cigar = Cigar.from_string(cigar_p.value.decode()) if cigar_p.value else Cigar()
+    lib.astarpa_free(cigar_p)
     return cost, cigar
 
 

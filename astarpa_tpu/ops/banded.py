@@ -188,6 +188,95 @@ def banded_cost_block(a0, a1, pb0, pb1, n, m, band_words: int):
 banded_cost = jax.jit(banded_cost_block, static_argnames=("band_words",))
 
 
+def banded_fill_block(a0, a1, pb0, pb1, n, m, band_words: int):
+    """Like :func:`banded_cost_block` but stores the window planes after
+    every column, for traceback (`simd::fill` equivalent on the band).
+
+    Returns (costs, vp_cols, vm_cols) with vp_cols shape (n_max, SW, B):
+    entry i holds the state after processing column i+1 (column 0's state is
+    the all-ones init).  The per-column window offsets are implied by
+    :func:`shift_at_array` (shifts apply before the column).
+    """
+    n_max, B = a0.shape
+    S = pb0.shape[0]
+    SW = min(band_words, S)
+    n = n.astype(jnp.int32)
+    m = m.astype(jnp.int32)
+    shift_at = jnp.asarray(shift_at_array(n_max, S, SW))
+
+    def body(carry, xs):
+        vp, vm, win0, win1, top_val, lo, result, top_rows = carry
+        ca0, ca1, i = xs
+
+        do_shift = shift_at[i] > 0
+        lo_new = lo + 1
+        nxt0 = jax.lax.dynamic_slice_in_dim(pb0, lo_new + SW - 1, 1, axis=0)
+        nxt1 = jax.lax.dynamic_slice_in_dim(pb1, lo_new + SW - 1, 1, axis=0)
+        shifted = lambda w, nxt: jnp.concatenate([w[1:], nxt], axis=0)
+        top_val = jnp.where(
+            do_shift, top_val + _popcount(vp[0]) - _popcount(vm[0]), top_val
+        )
+        top_rows = jnp.where(do_shift, top_rows + W, top_rows)
+        vp = jnp.where(do_shift, shifted(vp, jnp.full((1, B), _ONES, U32)), vp)
+        vm = jnp.where(do_shift, shifted(vm, jnp.zeros((1, B), U32)), vm)
+        win0 = jnp.where(do_shift, shifted(win0, nxt0), win0)
+        win1 = jnp.where(do_shift, shifted(win1, nxt1), win1)
+        lo = jnp.where(do_shift, lo_new, lo)
+
+        ca0 = ca0[None, :]
+        ca1 = ca1[None, :]
+        eq = (ca0 ^ win0) & (ca1 ^ win1)
+
+        def word_step(w, carry2):
+            vp, vm, hp0, hm0 = carry2
+            eqw = eq[w]
+            vpw, vmw = vp[w], vm[w]
+            vx = eqw | vmw
+            eq2 = eqw | hm0
+            hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+            hp = vmw | ~(hx | vpw)
+            hm = vpw & hx
+            hpw = hp >> (W - 1)
+            hmw = hm >> (W - 1)
+            hp = (hp << 1) | hp0
+            hm = (hm << 1) | hm0
+            vp = vp.at[w].set(hm | ~(vx | hp))
+            vm = vm.at[w].set(hp & vx)
+            return vp, vm, hpw, hmw
+
+        ones = jnp.ones((B,), U32)
+        zeros = jnp.zeros((B,), U32)
+        vp2, vm2, _, _ = jax.lax.fori_loop(0, SW, word_step, (vp, vm, ones, zeros))
+
+        active = i < n
+        vp = jnp.where(active, vp2, vp)
+        vm = jnp.where(active, vm2, vm)
+        top_val = jnp.where(active, top_val + 1, top_val)
+
+        done = i == n - 1
+        res_now = top_val + _value_to_window(vp, vm, m - top_rows)
+        covered = (m - top_rows) <= SW * W
+        res_now = jnp.where(covered, res_now, jnp.int32(1 << 30))
+        result = jnp.where(done, res_now, result)
+        carry = (vp, vm, win0, win1, top_val, lo, result, top_rows)
+        return carry, (vp, vm)
+
+    vp0 = jnp.full((SW, B), _ONES, U32)
+    vm0 = jnp.zeros((SW, B), U32)
+    win0 = jax.lax.dynamic_slice_in_dim(pb0, 0, SW, axis=0)
+    win1 = jax.lax.dynamic_slice_in_dim(pb1, 0, SW, axis=0)
+    carry = (
+        vp0, vm0, win0, win1,
+        jnp.zeros((B,), jnp.int32), jnp.int32(0), m, jnp.zeros((B,), jnp.int32),
+    )
+    xs = (a0, a1, jnp.arange(n_max, dtype=jnp.int32))
+    carry, (vp_cols, vm_cols) = jax.lax.scan(body, carry, xs)
+    return carry[6], vp_cols, vm_cols
+
+
+banded_fill = jax.jit(banded_fill_block, static_argnames=("band_words",))
+
+
 def band_threshold(band_words: int, n, m, n_max: int, m_max: int):
     """Largest certified-exact distance for this band (NumPy, per pair).
 

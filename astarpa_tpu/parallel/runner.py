@@ -121,23 +121,23 @@ class BatchAligner:
         from ..ops import banded
 
         B = a0.shape[1]
+        pp = min(4096, B)
+        while pp >= 128 and B % pp:
+            pp //= 2
         use_pallas = (
             self.mesh is None
             and jax.default_backend() == "tpu"
-            and B % 128 == 0
-            # VMEM budget: 4 window arrays + full b-profile per program.
-            and (4 * sw + 2 * S) * min(1024, B) * 4 < 8 * 2**20
+            and pp >= 128
+            # VMEM budget: 4 window arrays + profile slab per program (the
+            # full b-profile stays in HBM; slabs are pre-gathered per block).
+            and (4 * sw + 2 * (sw + 20)) * pp * 4 < 6 * 2**20
         )
         if use_pallas:
             from ..ops.pallas_banded import banded_cost_tpu
 
-            pp = min(1024, B)
-            while B % pp:
-                pp //= 2
-            if pp >= 128:
-                return banded_cost_tpu(
-                    a0, a1, pb0, pb1, n, m, band_words=sw, pairs_per_program=pp
-                )
+            return banded_cost_tpu(
+                a0, a1, pb0, pb1, n, m, band_words=sw, pairs_per_program=pp
+            )
         return banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw)
 
     def _shard(self, args):
@@ -171,14 +171,78 @@ class BatchAligner:
     # -- CIGAR path ------------------------------------------------------------
 
     def align(self, pairs) -> list[tuple[int, Cigar]]:
-        """Costs on device, CIGARs via the block aligner's traceback.
-
-        v1: traceback runs per pair through the host block aligner seeded
-        with the known distance (single band pass, no doubling search).
+        """Costs + CIGARs: a fill pass stores the banded window planes on
+        device; the native C++ traceback walks them per pair
+        (`native/astarpa_native.cpp::trace_banded`).  Falls back to the host
+        block aligner when the native toolchain is unavailable.
         """
-        from ..aligners.astarpa2 import AstarPa2Params
+        from .. import native
 
         costs = self.cost(pairs)
+        if not native.available():
+            return self._align_host_fallback(pairs, costs)
+
+        results: list = [None] * len(pairs)
+        todo = []
+        for idx, (a, b) in enumerate(pairs):
+            if len(a) == 0 or len(b) == 0:
+                cigar = Cigar()
+                if len(a):
+                    from ..types import CigarOp
+
+                    cigar.push(CigarOp.DEL, len(a))
+                if len(b):
+                    from ..types import CigarOp
+
+                    cigar.push(CigarOp.INS, len(b))
+                results[idx] = (int(costs[idx]), cigar)
+            else:
+                todo.append(idx)
+
+        for bucket in _buckets(pairs, todo):
+            self._trace_bucket(pairs, bucket, costs, results)
+        return results
+
+    def _trace_bucket(self, pairs, idxs, costs, results) -> None:
+        from .. import native
+        from ..ops import banded
+        from ..ops.bitpack import W
+        from ..ops.pallas_myers import pack_batch_staggered
+
+        bucket_pairs = [pairs[i] for i in idxs]
+        args, B0 = pack_batch_staggered(bucket_pairs, self.lane_multiple)
+        a0, a1, pb0, pb1, n, m = args
+        n_max, S = a0.shape[0], pb0.shape[0]
+        # Wide-enough certified band for every pair in the bucket.
+        sw = min(self.band_words, S)
+        while sw < S:
+            thr = banded.band_threshold(
+                sw, np.asarray(n)[:B0], np.asarray(m)[:B0], n_max, S * W
+            )
+            if (np.asarray([costs[i] for i in idxs]) <= thr).all():
+                break
+            sw *= 2
+        sw = min(sw, S)
+        got, vp_cols, vm_cols = banded.banded_fill(
+            a0, a1, pb0, pb1, n, m, band_words=sw
+        )
+        vp_cols = np.asarray(vp_cols)
+        vm_cols = np.asarray(vm_cols)
+        shift = banded.shift_at_array(n_max, S, sw)
+        lo = np.cumsum(shift).astype(np.int32)  # top word after col i's shift
+        for slot, i in enumerate(idxs):
+            a, b = pairs[i]
+            cost, cigar = native.trace_banded(
+                a, b,
+                vp_cols[: len(a), :, slot], vm_cols[: len(a), :, slot],
+                lo[: len(a)], sw,
+            )
+            assert cost == costs[i], (cost, costs[i])
+            results[i] = (cost, cigar)
+
+    def _align_host_fallback(self, pairs, costs) -> list[tuple[int, Cigar]]:
+        from ..aligners.astarpa2 import AstarPa2Params
+
         aligner = AstarPa2Params.simple().make_aligner(True)
         results = []
         for (a, b), c in zip(pairs, costs):

@@ -31,6 +31,14 @@ int astarpa_align(const uint8_t* a, int n, const uint8_t* b, int m, int r,
                   int k, int prune, int dt, int use_gap_cost,
                   char** cigar_out, int64_t* stats_out);
 
+/* Traceback through stored banded-DP window planes for one pair (see
+ * astarpa_tpu/ops/banded.py::banded_fill).  vp/vm are (n * SW) uint32 words
+ * row-major; lo is the per-column window top word index.  Returns the
+ * banded cost and a malloc'd CIGAR, or -1 on inconsistency. */
+int trace_banded(const uint8_t* a, int n, const uint8_t* b, int m,
+                 const uint32_t* vp_cols, const uint32_t* vm_cols,
+                 const int32_t* lo, int SW, char** cigar_out);
+
 void astarpa_free(char* p);
 
 #ifdef __cplusplus

@@ -811,4 +811,119 @@ int astarpa_gcsh(const uint8_t* a, int n, const uint8_t* b, int m, int r,
 
 void astarpa_free(char* p) { free(p); }
 
+// Traceback through stored banded-DP window planes (one pair).
+//
+// Inputs are the per-column window bit-planes produced by the banded batch
+// kernel (`astarpa_tpu/ops/banded.py::banded_fill`): vp/vm[(i-1)*SW + w]
+// holds word w of the window after DP column i; lo[i-1] is the window's top
+// word index for column i (after its shift).  Walks Match > Del > Ins > Sub
+// parents from (n, m) using the banded DP's own boundary assumptions (h=+1
+// entering the window top, +1/row below the window bottom), which makes any
+// parent chain a valid alignment of exactly the banded cost.
+//
+// Returns the cost and writes a malloc'd CIGAR, or -1 on inconsistency.
+int trace_banded(const uint8_t* a, int n, const uint8_t* b, int m,
+                 const uint32_t* vp_cols, const uint32_t* vm_cols,
+                 const int32_t* lo, int SW, char** cigar_out) {
+  const i32 WW = 32;
+  std::vector<u32> init_vp(SW, 0xFFFFFFFFu), init_vm(SW, 0);
+
+  auto planes = [&](i32 i, const u32** vp, const u32** vm) {
+    // Column i in 1..n; i == 0 is the initial all-ones state.
+    if (i == 0) {
+      *vp = init_vp.data();
+      *vm = init_vm.data();
+    } else {
+      *vp = vp_cols + (size_t)(i - 1) * SW;
+      *vm = vm_cols + (size_t)(i - 1) * SW;
+    }
+  };
+  auto top_words = [&](i32 i) -> i32 { return i == 0 ? 0 : lo[i - 1]; };
+
+  // top_val[i] = banded D at (i, top_words(i)*32).
+  std::vector<i32> top_val(n + 1, 0);
+  for (i32 i = 1; i <= n; i++) {
+    i32 tv = top_val[i - 1];
+    if (top_words(i) > top_words(i - 1)) {
+      const u32 *pvp, *pvm;
+      planes(i - 1, &pvp, &pvm);
+      tv += __builtin_popcount(pvp[0]) - __builtin_popcount(pvm[0]);
+    }
+    tv += 1;  // active column
+    top_val[i] = tv;
+  }
+
+  auto dval = [&](i32 i, i32 j) -> i32 {
+    // Banded D'(i, j); requires j >= top_words(i)*32.
+    i32 top = top_words(i) * WW;
+    i32 rel = j - top;
+    assert(rel >= 0);
+    const u32 *pvp, *pvm;
+    planes(i, &pvp, &pvm);
+    i32 v = 0;
+    i32 full = std::min(rel, SW * WW);
+    for (i32 w = 0; w * WW < full; w++) {
+      i32 bits = std::min(WW, full - w * WW);
+      u32 mask = bits >= WW ? 0xFFFFFFFFu : ((u32(1) << bits) - 1);
+      v += __builtin_popcount(pvp[w] & mask) - __builtin_popcount(pvm[w] & mask);
+    }
+    if (rel > SW * WW) v += rel - SW * WW;  // below-window +1/row extension
+    return top_val[i] + v;
+  };
+
+  i32 i = n, j = m;
+  if (j < top_words(n) * WW) return -1;  // window does not cover the corner
+  i32 g = dval(n, m);
+  i32 total = g;
+  std::string rev;
+  while (i > 0 || j > 0) {
+    if (i == 0) {
+      rev.append(j, 'I');
+      j = 0;
+      break;
+    }
+    if (j == 0) {
+      rev.append(i, 'D');
+      i = 0;
+      break;
+    }
+    i32 top = top_words(i) * WW;
+    if (j <= top) {
+      // h = +1 boundary at the window top: a deletion.
+      rev += 'D';
+      i--;
+      g--;
+      continue;
+    }
+    bool eq = a[i - 1] == b[j - 1];
+    i32 d_diag = (j - 1 >= top_words(i - 1) * WW) ? dval(i - 1, j - 1) : INF;
+    i32 d_up = (j >= top_words(i - 1) * WW) ? dval(i - 1, j) : INF;
+    i32 d_left = dval(i, j - 1);
+    if (eq && d_diag == g) {
+      rev += '=';
+      i--; j--;
+    } else if (d_up + 1 == g) {
+      rev += 'D';
+      i--; g--;
+    } else if (d_left + 1 == g) {
+      rev += 'I';
+      j--; g--;
+    } else if (d_diag + 1 == g) {
+      rev += 'X';
+      i--; j--; g--;
+    } else {
+      return -1;  // inconsistent planes
+    }
+  }
+  if (g != 0 && i != 0) return -1;
+  if (cigar_out) {
+    CigarBuilder cb;
+    for (auto it = rev.rbegin(); it != rev.rend(); ++it) cb.push(*it);
+    cb.flush();
+    *cigar_out = (char*)malloc(cb.s.size() + 1);
+    memcpy(*cigar_out, cb.s.c_str(), cb.s.size() + 1);
+  }
+  return total;
+}
+
 }  // extern "C"
