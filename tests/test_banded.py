@@ -111,3 +111,29 @@ def test_pallas_banded_parity_interpret():
             )
         )
         assert (ref == got).all()
+
+
+def test_batch_align_fill_native_trace():
+    """Device fill pass + native banded traceback produces exact, verified
+    CIGARs (skipped when no native toolchain)."""
+    from astarpa_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    pairs = _mixed_pairs(60, count=10) + [(b"", b"AC"), (b"AC", b""), (b"A", b"A")]
+    ba = BatchAligner(band_words=4, lane_multiple=8)
+    for (a, b), (cost, cigar) in zip(pairs, ba.align(pairs)):
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
+def test_banded_fill_matches_cost():
+    pairs = _mixed_pairs(80, count=8)
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=8)
+    a0, a1, pb0, pb1, n, m = args
+    costs = np.asarray(banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=8))
+    fill_costs, vp_cols, vm_cols = banded.banded_fill(
+        a0, a1, pb0, pb1, n, m, band_words=8
+    )
+    assert (np.asarray(fill_costs) == costs).all()
+    assert vp_cols.shape[0] == a0.shape[0]
