@@ -138,6 +138,34 @@ static void mutations(i32 k, u64 qgram, std::vector<u64>& dels,
   }
 }
 
+// Sorted q-gram multimap: build once, lookup by binary search.  Much
+// faster than std::unordered_map for the r=2 path (~10^6 lookups); plays
+// the role of the reference's FxHashMap tables (`exact.rs:40-69`).
+struct QgramIndex {
+  std::vector<std::pair<u64, i32>> entries;
+
+  void build_sliding(const uint8_t* s, i32 len, i32 k) {
+    entries.clear();
+    if (len < k) return;
+    entries.reserve(len - k + 1);
+    u64 mask = (k < 32) ? ((u64(1) << (2 * k)) - 1) : ~u64(0);
+    u64 q = 0;
+    for (i32 t = 0; t < k - 1; t++) q = (q << 2) | u64(code(s[t]));
+    for (i32 j = 0; j + k <= len; j++) {
+      q = ((q << 2) | u64(code(s[j + k - 1]))) & mask;
+      entries.push_back({q, j});
+    }
+    std::sort(entries.begin(), entries.end());
+  }
+
+  template <typename F>
+  void lookup(u64 key, F f) const {
+    auto it = std::lower_bound(
+        entries.begin(), entries.end(), std::pair<u64, i32>{key, INT32_MIN});
+    for (; it != entries.end() && it->first == key; ++it) f(it->second);
+  }
+};
+
 // Find matches; transform-filtered for GCSH (`matches.rs:17-39,205-210`).
 static std::vector<Match> find_matches(const uint8_t* a, i32 n,
                                        const uint8_t* b, i32 m,
@@ -150,42 +178,30 @@ static std::vector<Match> find_matches(const uint8_t* a, i32 n,
     Pos t = seeds.transform(mt.start);
     return t.i <= t_target.i && t.j <= t_target.j;
   };
+  QgramIndex tab[3];
   if (r == 1) {
-    std::unordered_map<u64, std::vector<i32>> table;
-    for (i32 i = 0; i + k <= n; i += k) table[qgram_of(a + i, k)].push_back(i);
-    if (m >= k) {
-      u64 mask = (k < 32) ? ((u64(1) << (2 * k)) - 1) : ~u64(0);
-      // Stream b's k-mers in reverse (`exact.rs:20-22`).
-      for (i32 j = m - k; j >= 0; j--) {
-        u64 q = qgram_of(b + j, k) & mask;
-        auto it = table.find(q);
-        if (it == table.end()) continue;
-        for (i32 i : it->second) {
-          Match mt{{i, j}, {i + k, j + k}, 0, 1};
-          if (keep(mt)) out.push_back(mt);
-        }
-      }
+    tab[1].build_sliding(b, m, k);
+    i32 num_seeds = (n >= k) ? n / k : 0;
+    for (i32 s = 0; s < num_seeds; s++) {
+      i32 start = s * k;
+      u64 q = qgram_of(a + start, k);
+      tab[1].lookup(q, [&](i32 j) {
+        Match mt{{start, j}, {start + k, j + k}, 0, 1};
+        if (keep(mt)) out.push_back(mt);
+      });
     }
   } else {  // r == 2
-    std::unordered_map<u64, std::vector<i32>> tab[3];  // k-1, k, k+1
-    for (i32 d = -1; d <= 1; d++) {
-      i32 kk = k + d;
-      for (i32 j = 0; j + kk <= m; j++)
-        tab[d + 1][qgram_of(b + j, kk)].push_back(j);
-    }
+    for (i32 d = -1; d <= 1; d++) tab[d + 1].build_sliding(b, m, k + d);
     std::vector<u64> dels, subs, ins;
     i32 num_seeds = (n >= k) ? (n - k) / k + 1 : 0;
     for (i32 s = num_seeds - 1; s >= 0; s--) {
       i32 start = s * k, end = start + k;
       u64 q = qgram_of(a + start, k);
-      auto push_all = [&](const std::unordered_map<u64, std::vector<i32>>& t,
-                          u64 w, i32 dj, i32 cost) {
-        auto it = t.find(w);
-        if (it == t.end()) return;
-        for (i32 j : it->second) {
+      auto push_all = [&](const QgramIndex& t, u64 w, i32 dj, i32 cost) {
+        t.lookup(w, [&](i32 j) {
           Match mt{{start, j}, {end, j + dj}, cost, 2};
           if (keep(mt)) out.push_back(mt);
-        }
+        });
       };
       push_all(tab[1], q, k, 0);
       mutations(k, q, dels, subs, ins);
@@ -306,89 +322,258 @@ struct MatchPruner {
 
 // ------------------------------------------------------------- contours
 
-// Nested layered contours: layer v (1-based) holds a staircase of dominant
-// start points with chain value >= v (same formulation as the Python
-// runtime; semantics of `hint_contours.rs`).
-struct Contours {
-  // Each layer: points sorted by i asc with j desc (dominant staircase).
-  std::vector<std::vector<Pos>> layers;
+// One contour layer: the point set with a given chain value.  Linear scans
+// with move-to-front (layers average ~1.5 points; semantics of the
+// reference's RotateToFrontContour, `rotate_to_front.rs:10-97`).
+struct Layer {
+  std::vector<Pos> points;
 
-  static bool stair_contains(const std::vector<Pos>& st, Pos q) {
-    // Smallest i >= q.i has the largest j among those.
-    auto it = std::lower_bound(
-        st.begin(), st.end(), q.i,
-        [](const Pos& p, i32 qi) { return p.i < qi; });
-    return it != st.end() && it->j >= q.j;
-  }
-
-  static void stair_push(std::vector<Pos>& st, Pos p) {
-    auto it = std::lower_bound(
-        st.begin(), st.end(), p.i,
-        [](const Pos& q, i32 pi) { return q.i < pi; });
-    size_t kpos = it - st.begin();
-    if (kpos < st.size() && st[kpos].j >= p.j) return;  // dominated
-    size_t hi = kpos;
-    if (hi < st.size() && st[hi].i == p.i) hi++;
-    size_t lo = kpos;
-    while (lo > 0 && st[lo - 1].j <= p.j) lo--;
-    st.erase(st.begin() + lo, st.begin() + hi);
-    st.insert(st.begin() + lo, p);
-  }
-
-  bool contains(i32 v, Pos q) const {
-    if (v <= 0) return true;
-    if (v > (i32)layers.size()) return false;
-    return stair_contains(layers[v - 1], q);
-  }
-
-  i32 score(Pos q) const {
-    i32 lo = 0, hi = (i32)layers.size() + 1;
-    while (hi - lo > 1) {
-      i32 mid = (lo + hi) / 2;
-      if (contains(mid, q)) lo = mid; else hi = mid;
+  bool contains(Pos q) {
+    for (size_t t = 0; t < points.size(); t++) {
+      const Pos p = points[t];
+      if (q.i <= p.i && q.j <= p.j) {
+        if (t > 0) {  // move to front
+          points.erase(points.begin() + t);
+          points.insert(points.begin(), p);
+        }
+        return true;
+      }
     }
-    return lo;
+    return false;
+  }
+  bool contains_equal(Pos q) const {
+    for (const Pos& p : points)
+      if (p == q) return true;
+    return false;
+  }
+  bool prune(Pos p) {
+    for (size_t t = 0; t < points.size(); t++)
+      if (points[t] == p) {
+        points.erase(points.begin() + t);
+        return true;
+      }
+    return false;
+  }
+  size_t len() const { return points.size(); }
+};
+
+// Layered contours with hint queries and incremental ripple pruning —
+// the faithful re-implementation of `hint_contours.rs:12-637`:
+//
+// - layer v holds the start points whose chain value is exactly v; layer 0
+//   holds a sentinel "match at the end".
+// - queries probe the max_len-window above v (`is_score_at_least`,
+//   `hint_contours.rs:125-133`) since consecutive chain values can differ
+//   by up to the max arrow score.
+// - `prune_with_hint` moves the pruned point down to its recomputed value
+//   and ripples updates upward layer by layer, stopping after
+//   max_len + shift - 1 unchanged layers; layers that empty out while every
+//   point above depended on the pruned region are removed entirely, which
+//   raises h globally below the search tip — the O(1) priority-queue shift
+//   (`hint_contours.rs:348-457,459-637`).
+struct HintContours {
+  std::vector<Layer> contours;  // contours[v] = layer v; [0] = sentinel
+  i32 max_len = 1;
+  i32 layers_removed = 0;
+
+  static constexpr u32 HINT_NONE = 0x7FFFFFFF;
+
+  void init(i32 max_len_) {
+    max_len = max_len_;
+    layers_removed = 0;
+    contours.assign(1, Layer{});
+    contours[0].points.push_back(Pos{INF, INF});
   }
 
-  i32 score_with_hint(Pos q, i32& hint) const {
-    i32 v = std::max(0, std::min(hint, (i32)layers.size()));
-    if (contains(v, q)) {
-      while (contains(v + 1, q)) v++;
+  i32 num_layers() const { return (i32)contours.size(); }
+
+  // First layer in [v, v+max_len) containing q, or -1.
+  i32 is_score_at_least(Pos q, i32 v) {
+    for (i32 w = v; w < std::min(v + max_len, num_layers()); w++)
+      if (contours[w].contains(q)) return w;
+    return -1;
+  }
+
+  i32 score(Pos q) {
+    i32 low = 0, high = num_layers();
+    while (high - low > 1) {
+      i32 mid = (low + high) / 2;
+      i32 w = is_score_at_least(q, mid);
+      if (w >= 0) low = w; else high = mid;
+    }
+    return low;
+  }
+
+  // Hint = layer + layers_removed at query time (`hint_contours.rs:285-344`).
+  i32 score_with_hint(Pos q, u32& hint) {
+    i32 v = std::min<i32>(
+        (i32)std::max<i64>(0, (i64)hint - layers_removed), num_layers() - 1);
+    constexpr i32 SEARCH_RANGE = 5;
+    i32 w0 = is_score_at_least(q, v);
+    if (w0 >= 0) {
+      i32 best = w0;
+      i32 upper = std::min(w0 + SEARCH_RANGE + 2, num_layers());
+      for (i32 w = w0 + 1; w <= upper; w++) {
+        if (w < num_layers() && contours[w].contains(q)) best = w;
+        if (w == num_layers() || w >= best + max_len) {
+          hint = u32(best + layers_removed);
+          return best;
+        }
+      }
     } else {
-      while (v > 0 && !contains(v, q)) v--;
+      for (i32 w = v - 1; w >= std::max(0, v - SEARCH_RANGE); w--) {
+        if (contours[w].contains(q)) {
+          hint = u32(w + layers_removed);
+          return w;
+        }
+      }
     }
-    hint = v;
-    return v;
+    i32 w = score(q);
+    hint = u32(w + layers_removed);
+    return w;
   }
 
-  // Rebuild from active matches, reverse-sorted by LexPos(start)
-  // (`hint_contours.rs:213-254` semantics, nested-layer variant).
-  void build(const MatchPruner& pruner, const Seeds& seeds, bool use_gap_cost,
-             Pos t_target) {
-    layers.clear();
-    const auto& ms = pruner.by_start;
-    i32 idx = (i32)ms.size() - 1;
-    while (idx >= 0) {
-      // Group of equal starts (already contiguous in by_start).
-      i32 lo = idx;
-      while (lo >= 0 && ms[lo].start == ms[idx].start) lo--;
-      Pos tstart = use_gap_cost ? seeds.transform(ms[idx].start) : ms[idx].start;
-      i32 v = 0, l = 0;
-      for (i32 t = idx; t > lo; t--) {
-        const Match& mt = ms[t];
-        if (mt.pruned) continue;
-        Pos tend = use_gap_cost ? seeds.transform(mt.end) : mt.end;
-        if (!(tend.i <= t_target.i && tend.j <= t_target.j)) continue;
-        i32 nv = score(tend) + mt.score();
-        if (nv > v) v = nv;
-        l = std::max(l, (i32)mt.score());
+  // Max over arrows from pos of (end-layer + score), searching each end's
+  // layer linearly downward from v-1 (`hint_contours.rs:162-208`).
+  template <typename ArrowsFn>
+  i32 chain_score(const ArrowsFn& arrows, Pos pos, i32 v) {
+    i32 max_score = 0;
+    bool any = false;
+    arrows(pos, [&](Pos end, i32 score) {
+      any = true;
+      i32 end_layer = v - 1;
+      while (!contours[end_layer].contains(end)) {
+        end_layer--;
+        if (end_layer + score <= max_score) return;
       }
-      if (v > 0) {
-        while ((i32)layers.size() < v) layers.emplace_back();
-        for (i32 layer = std::max(1, v - l + 1); layer <= v; layer++)
-          stair_push(layers[layer - 1], tstart);
+      max_score = std::max(max_score, end_layer + score);
+    });
+    return any ? max_score : -1;  // -1: no active arrows here
+  }
+
+  // Build from arrow groups in decreasing LexPos(start) order
+  // (`hint_contours.rs:213-254`).
+  void push_start(Pos start, i32 v) {
+    if (v <= 0) return;
+    while (num_layers() <= v) contours.emplace_back();
+    contours[v].points.push_back(start);
+  }
+
+  // Prune point p (its arrows already removed from the arrow set).
+  // Returns (changed, layers removed globally) (`hint_contours.rs:348-457`).
+  template <typename ArrowsFn>
+  std::pair<bool, i32> prune_with_hint(Pos p, u32 hint, const ArrowsFn& arrows) {
+    i32 v = score_with_hint(p, hint);
+    // The point's own layer can be anywhere in (v - max_len, v].
+    i32 found = -1;
+    for (i32 w = v; w >= std::max(0, v - max_len); w--)
+      if (contours[w].contains_equal(p)) { found = w; break; }
+    if (found < 0) return {false, 0};  // already gone
+    v = found;
+    assert(v > 0);
+
+    i32 new_score = chain_score(arrows, p, v);
+    i32 first_to_check = (new_score >= 0 ? new_score : v) + 1;
+    if (new_score == v) return {false, 0};
+
+    bool ok = contours[v].prune(p);
+    assert(ok);
+    (void)ok;
+    if (new_score > 0) push_start(p, new_score);
+
+    // If p's layer emptied and every point in the next max_len layers
+    // depended on p, whole layers below become removable.
+    i32 initial_shift = 0;
+    if (contours[v].len() == 0) {
+      bool all_depend = true;
+      for (i32 w = v + 1; w < std::min(v + max_len, num_layers()) && all_depend;
+           w++) {
+        for (const Pos& pos : contours[w].points) {
+          arrows(pos, [&](Pos end, i32) {
+            if (!(end.i <= p.i && end.j <= p.j)) all_depend = false;
+          });
+          if (!all_depend) break;
+        }
       }
-      idx = lo;
+      if (all_depend) {
+        for (i32 w = v; w >= 0; w--) {
+          if (contours[w].len() > 0) break;
+          contours.erase(contours.begin() + w);
+          layers_removed++;
+          first_to_check = std::min(first_to_check, w);
+          initial_shift++;
+        }
+      }
+    }
+
+    update_layers(first_to_check, v, arrows);
+    return {true, initial_shift};
+  }
+
+  // Ripple updates from layer `v` upward (`hint_contours.rs:459-637`).
+  template <typename ArrowsFn>
+  void update_layers(i32 v, i32 last_change, const ArrowsFn& arrows) {
+    v = std::max(v, 1);
+    last_change = std::max(last_change, v);
+    // Rolling shift state: -1 = none, -2 = inconsistent, else the shift.
+    i32 rolling_shift = -1;
+    i32 fully_shifted_layers = 0;
+
+    for (v = v; v < num_layers(); v++) {
+      bool changes = false;
+      i32 current_shift = -1;  // -1 none, -2 inconsistent
+      // Re-place every point whose value dropped below v.
+      auto& pts = contours[v].points;
+      for (size_t t = 0; t < pts.size();) {
+        Pos pos = pts[t];
+        i32 nl = chain_score(arrows, pos, v);
+        if (nl < 0) {
+          // No arrows left: drop the point.
+          pts.erase(pts.begin() + t);
+          changes = true;
+          current_shift = -2;
+          continue;
+        }
+        assert(nl <= v);
+        if (nl == v) {
+          current_shift = -2;
+          t++;
+          continue;
+        }
+        // merge Shift::Layers(v - nl)
+        i32 s = v - nl;
+        if (current_shift == -1) current_shift = s;
+        else if (current_shift != s) current_shift = -2;
+        pts.erase(pts.begin() + t);
+        push_start(pos, nl);
+        changes = true;
+      }
+
+      if (changes) last_change = std::max(last_change, v);
+      if (v >= last_change + max_len) break;  // no further changes possible
+
+      if (contours[v].len() == 0 && current_shift != -2) {
+        if (rolling_shift == -1 || current_shift == -1 ||
+            rolling_shift == current_shift) {
+          fully_shifted_layers++;
+          if (rolling_shift == -1) rolling_shift = current_shift;
+        }
+      } else {
+        fully_shifted_layers = 0;
+        rolling_shift = -1;
+      }
+
+      if (rolling_shift > 0 && v >= last_change &&
+          fully_shifted_layers >= max_len + rolling_shift - 1) {
+        // All remaining layers shift down together: remove the empties.
+        for (i32 s = 0; s < rolling_shift; s++) {
+          assert(contours[v].len() == 0);
+          contours.erase(contours.begin() + v);
+          layers_removed++;
+          v--;
+        }
+        break;
+      }
     }
   }
 };
@@ -398,20 +583,30 @@ struct Contours {
 struct GCSHInstance {
   Seeds seeds;
   MatchPruner pruner;
-  Contours contours;
+  HintContours contours;
+  // Transformed start -> original start (the transform is injective per i).
+  std::unordered_map<Pos, Pos, PosHash> t2orig;
   bool use_gap_cost = true;
   bool prune_enabled = true;
   Pos target, t_target;
+  Pos max_transformed_pos{INT32_MIN / 4, INT32_MIN / 4};
   i64 h_calls = 0, prune_calls = 0;
   i32 num_matches = 0;
-  // Deferred contour rebuilds: pruned matches are marked immediately but
-  // the layer structure is rebuilt only every `rebuild_every` pruned
-  // matches.  Always sound: pruning only raises h, so a stale (lower) h
-  // stays admissible and the popped-state re-evaluation keeps A* exact;
-  // the trade is a slightly wider explored band for O(M^2 / K) instead of
-  // O(M^2) total contour work (the reference amortizes with an incremental
-  // ripple instead, `hint_contours.rs:459-637`).
-  i32 pending = 0, rebuild_every = 1;
+
+  // Active arrows from a *transformed* start position; cb(t_end, score).
+  template <typename Cb>
+  void arrows_at(Pos t_start, Cb cb) const {
+    auto it = t2orig.find(t_start);
+    if (it == t2orig.end()) return;
+    auto rng = pruner.start_index.find(it->second);
+    if (rng == pruner.start_index.end()) return;
+    for (i32 t = rng->second.first; t < rng->second.second; t++) {
+      const Match& mt = pruner.by_start[t];
+      if (mt.pruned) continue;
+      Pos te = use_gap_cost ? seeds.transform(mt.end) : mt.end;
+      if (te.i <= t_target.i && te.j <= t_target.j) cb(te, mt.score());
+    }
+  }
 
   void build(const uint8_t* a, i32 n, const uint8_t* b, i32 m, i32 k, i32 r,
              i32 prune_mode, bool gap) {
@@ -425,8 +620,28 @@ struct GCSHInstance {
     bool pe = prune_mode == 2 || prune_mode == 3;
     prune_enabled = prune_mode != 0;
     pruner.build(std::move(ms), ps, pe, gap);
-    contours.build(pruner, seeds, use_gap_cost, t_target);
-    rebuild_every = std::max<i32>(1, num_matches / 256);
+
+    // Build contours from arrow groups in decreasing LexPos(start) order
+    // (`hint_contours.rs:213-254`).
+    contours.init(r);
+    const auto& msv = pruner.by_start;
+    i32 idx = (i32)msv.size() - 1;
+    while (idx >= 0) {
+      i32 lo = idx;
+      while (lo >= 0 && msv[lo].start == msv[idx].start) lo--;
+      Pos start = msv[idx].start;
+      Pos tstart = use_gap_cost ? seeds.transform(start) : start;
+      t2orig[tstart] = start;
+      i32 v = 0;
+      for (i32 t = idx; t > lo; t--) {
+        const Match& mt = msv[t];
+        Pos te = use_gap_cost ? seeds.transform(mt.end) : mt.end;
+        if (!(te.i <= t_target.i && te.j <= t_target.j)) continue;
+        v = std::max(v, contours.score(te) + mt.score());
+      }
+      contours.push_start(tstart, v);
+      idx = lo;
+    }
   }
 
   Pos transform(Pos p) const { return use_gap_cost ? seeds.transform(p) : p; }
@@ -440,7 +655,7 @@ struct GCSHInstance {
     return pd;
   }
 
-  i32 h_with_hint(Pos pos, i32& hint) {
+  i32 h_with_hint(Pos pos, u32& hint) {
     h_calls++;
     i32 p = seeds.pot(pos);
     i32 val = contours.score_with_hint(transform(pos), hint);
@@ -450,14 +665,73 @@ struct GCSHInstance {
 
   i32 root_potential() const { return seeds.potential[0]; }
 
-  void prune(Pos pos) {
-    if (!prune_enabled) return;
+  void explore(Pos pos) {
+    Pos t = transform(pos);
+    max_transformed_pos.i = std::max(max_transformed_pos.i, t.i);
+    max_transformed_pos.j = std::max(max_transformed_pos.j, t.j);
+  }
+
+  // Prune matches at pos; returns the sound queue-shift amount
+  // (`csh.rs:393-468`).
+  i32 prune(Pos pos, u32 hint) {
+    if (!prune_enabled) return 0;
     prune_calls++;
-    pending += pruner.prune(seeds, pos);
-    if (pending >= rebuild_every) {
-      contours.build(pruner, seeds, use_gap_cost, t_target);
-      pending = 0;
+    std::vector<Pos> starts;
+    i32 cnt = 0;
+    {
+      // Collect distinct start positions of matches pruned here.
+      auto collect = [&](Pos s) {
+        for (Pos q : starts)
+          if (q == s) return;
+        starts.push_back(s);
+      };
+      // Re-implement pruner.prune with a callback on each pruned match.
+      if (pruner.prune_start && seeds.is_seed_start(pos)) {
+        auto it = pruner.start_index.find(pos);
+        if (it != pruner.start_index.end())
+          for (i32 t = it->second.first; t < it->second.second; t++) {
+            Match& mt = pruner.by_start[t];
+            if (!mt.pruned && pruner.consistent(mt)) {
+              mt.pruned = true;
+              cnt++;
+              collect(mt.start);
+            }
+          }
+      }
+      if (pruner.prune_end && seeds.is_seed_end(pos)) {
+        auto it = pruner.end_index.find(pos);
+        if (it != pruner.end_index.end())
+          for (i32 t = it->second.first; t < it->second.second; t++) {
+            Match& mt = pruner.by_start[pruner.by_end[t]];
+            if (!mt.pruned && pruner.consistent(mt)) {
+              mt.pruned = true;
+              cnt++;
+              collect(mt.start);
+            }
+          }
+      }
     }
+    pruner.num_pruned += cnt;
+    if (cnt == 0) return 0;
+
+    // Remove from the contours left to right (`csh.rs:436-440`).
+    std::sort(starts.begin(), starts.end(), lex_less);
+    Pos tpos = transform(pos);
+    i32 change = 0;
+    auto arrows = [this](Pos ts, auto cb) { this->arrows_at(ts, cb); };
+    for (Pos s : starts) {
+      Pos ts = transform(s);
+      auto [changed, c] = contours.prune_with_hint(ts, hint, arrows);
+      (void)changed;
+      if (s == pos) {
+        // For GCSH the shift only propagates when the pruned position
+        // dominates everything explored (`csh.rs:452-459`).
+        if (!use_gap_cost || (max_transformed_pos.i <= tpos.i &&
+                              max_transformed_pos.j <= tpos.j))
+          change = c;
+      }
+    }
+    return change;
   }
 };
 
@@ -491,6 +765,7 @@ struct BucketQueue {
 
 struct Stats {
   i64 expanded = 0, explored = 0, extended = 0, reordered = 0, pruned = 0;
+  i64 pq_shifts = 0;
 };
 
 struct CigarBuilder {
@@ -511,16 +786,20 @@ struct CigarBuilder {
 // Plain A* over Pos states (`astar.rs:35-261`).
 static i32 astar_pos(const uint8_t* a, i32 n, const uint8_t* b, i32 m,
                      GCSHInstance& h, Stats& st, std::string& cigar_out) {
-  struct State { i32 g = INF; i32 hint = 0; };
+  struct State { i32 g = INF; u32 hint = HintContours::HINT_NONE; };
   std::unordered_map<Pos, State, PosHash> states;
   BucketQueue queue;
-  i32 shift = h.root_potential();  // down_shift kept constant (no pq shifts)
+  // ShiftQueue semantics (`bucket_queue.rs:111-229`): stored keys carry
+  // down_shift; pruning below the tip decreases it, raising all stored
+  // elements in O(1).
+  i32 down_shift = h.root_potential();
+  Pos tip{0, 0};  // max pushed position, component-wise
 
   Pos start{0, 0}, target{n, m};
-  i32 hint0 = 0;
+  u32 hint0 = HintContours::HINT_NONE;
   i32 hroot = h.h_with_hint(start, hint0);
   states[start] = {0, hint0};
-  queue.push(hroot + shift, {start, 0});
+  queue.push(hroot + down_shift, {start, 0});
   st.explored++;
 
   while (true) {
@@ -528,7 +807,7 @@ static i32 astar_pos(const uint8_t* a, i32 n, const uint8_t* b, i32 m,
     bool ok = queue.pop(qf, qe);
     assert(ok && "queue empty before target");
     (void)ok;
-    qf -= shift;
+    qf -= down_shift;
     Pos pos = qe.pos;
     i32 qg = qe.g;
     auto& state = states[pos];
@@ -539,16 +818,23 @@ static i32 astar_pos(const uint8_t* a, i32 n, const uint8_t* b, i32 m,
     assert(cf >= qf);
     if (cf > qf) {
       st.reordered++;
-      queue.push(cf + shift, {pos, qg});
+      queue.push(cf + down_shift, {pos, qg});
       continue;
     }
     st.expanded++;
     if (pos == target) break;
 
     i32 g = state.g;
-    i32 hint = state.hint;
+    u32 hint = state.hint;
 
-    if (h.seeds.is_seed_start_or_end(pos)) h.prune(pos);
+    if (h.seeds.is_seed_start_or_end(pos)) {
+      i32 sh = h.prune(pos, hint);
+      if (sh > 0 && tip.i <= pos.i && tip.j <= pos.j) {
+        assert(sh <= down_shift);
+        down_shift -= sh;
+        st.pq_shifts++;
+      }
+    }
 
     // Outgoing edges; greedy matching shadows indels on a match
     // (`alignment_graph.rs:155-183`).
@@ -574,11 +860,14 @@ static i32 astar_pos(const uint8_t* a, i32 n, const uint8_t* b, i32 m,
       }
       auto [it, inserted] = states.try_emplace(next);
       if (!inserted && it->second.g <= next_g) continue;
-      i32 nh_hint = hint;
+      u32 nh_hint = hint;
       i32 nh = h.h_with_hint(next, nh_hint);
       it->second.g = next_g;
       it->second.hint = nh_hint;
-      queue.push(next_g + nh + shift, {next, next_g});
+      queue.push(next_g + nh + down_shift, {next, next_g});
+      tip.i = std::max(tip.i, next.i);
+      tip.j = std::max(tip.j, next.j);
+      h.explore(next);
       st.explored++;
     }
   }
@@ -630,16 +919,17 @@ static i32 astar_dt(const uint8_t* a, i32 n, const uint8_t* b, i32 m,
       return std::hash<u64>()((u64(u32(k.d)) << 32) | u32(k.g));
     }
   };
-  struct State { i32 fr = -1; i32 hint = 0; };
+  struct State { i32 fr = -1; u32 hint = HintContours::HINT_NONE; };
   std::unordered_map<DtKey, State, DtHash> states;
   BucketQueue queue;
-  i32 shift = h.root_potential();
+  i32 down_shift = h.root_potential();
+  Pos tip{0, 0};
 
   Pos start{0, 0}, target{n, m};
-  i32 hint0 = 0;
+  u32 hint0 = HintContours::HINT_NONE;
   i32 hroot = h.h_with_hint(start, hint0);
   states[{0, 0}] = {0, hint0};
-  queue.push(hroot + shift, {start, 0});
+  queue.push(hroot + down_shift, {start, 0});
   st.explored++;
   i32 dist = -1;
 
@@ -648,7 +938,7 @@ static i32 astar_dt(const uint8_t* a, i32 n, const uint8_t* b, i32 m,
     bool ok = queue.pop(qf, qe);
     assert(ok && "queue empty before target");
     (void)ok;
-    qf -= shift;
+    qf -= down_shift;
     Pos pos = qe.pos;
     i32 qg = qe.g;
     DtKey key{pos.i - pos.j, qg};
@@ -662,14 +952,21 @@ static i32 astar_dt(const uint8_t* a, i32 n, const uint8_t* b, i32 m,
     assert(cf >= qf);
     if (cf > qf) {
       st.reordered++;
-      queue.push(cf + shift, {pos, qg});
+      queue.push(cf + down_shift, {pos, qg});
       continue;
     }
     st.expanded++;
     if (pos == target) { dist = qg; break; }
 
-    i32 hint = state.hint;
-    if (h.seeds.is_seed_start_or_end(pos)) h.prune(pos);
+    u32 hint = state.hint;
+    if (h.seeds.is_seed_start_or_end(pos)) {
+      i32 sh = h.prune(pos, hint);
+      if (sh > 0 && tip.i <= pos.i && tip.j <= pos.j) {
+        assert(sh <= down_shift);
+        down_shift -= sh;
+        st.pq_shifts++;
+      }
+    }
 
     bool is_match = pos.i < n && pos.j < m && a[pos.i] == b[pos.j];
     Pos nexts[3]; i32 costs[3]; i32 cnt = 0;
@@ -693,11 +990,14 @@ static i32 astar_dt(const uint8_t* a, i32 n, const uint8_t* b, i32 m,
         st.extended++;
         next = {next.i + 1, next.j + 1};
       }
-      i32 nh_hint = hint;
+      u32 nh_hint = hint;
       i32 nh = h.h_with_hint(next, nh_hint);
       it->second.fr = next.i + next.j;
       it->second.hint = nh_hint;
-      queue.push(next_g + nh + shift, {next, next_g});
+      queue.push(next_g + nh + down_shift, {next, next_g});
+      tip.i = std::max(tip.i, next.i);
+      tip.j = std::max(tip.j, next.j);
+      h.explore(next);
       st.explored++;
     }
   }
