@@ -124,3 +124,42 @@ def available() -> bool:
         return True
     except Exception:
         return False
+
+
+def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, shift_at,
+                    band_words: int, col_block: int):
+    """CIGAR from per-block banded checkpoints (stripes recomputed in C++).
+
+    ck_vp/ck_vm: (n_ck, SW) uint32 for this pair; shift_at: (>=n,) int32
+    bucket schedule.  Returns (cost, Cigar).
+    """
+    import numpy as np
+
+    lib = load()
+    if not hasattr(lib, "_ck_proto_set"):
+        lib.trace_banded_ck.restype = ctypes.c_int
+        lib.trace_banded_ck.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_char_p),
+        ]
+        lib._ck_proto_set = True
+    vp = np.ascontiguousarray(ck_vp, dtype=np.uint32)
+    vm = np.ascontiguousarray(ck_vm, dtype=np.uint32)
+    sh = np.ascontiguousarray(shift_at, dtype=np.int32)
+    cigar_p = ctypes.c_char_p()
+    cost = lib.trace_banded_ck(
+        a, len(a), b, len(b), s_words,
+        vp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vp.shape[0],
+        sh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        band_words, col_block,
+        ctypes.byref(cigar_p),
+    )
+    assert cost >= 0, "checkpointed banded traceback failed"
+    cigar = Cigar.from_string(cigar_p.value.decode()) if cigar_p.value else Cigar()
+    lib.astarpa_free(cigar_p)
+    return cost, cigar

@@ -258,3 +258,425 @@ def banded_cost_tpu(
         interpret=interpret,
     )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, sb0t, sb1t, nt, mt)
     return out.reshape(B)
+
+
+def _banded_fill_kernel(
+    shift_ref, lo_block_ref,
+    a0_ref, a1_ref, sb0_ref, sb1_ref, n_ref, m_ref,
+    result_ref, vpall_ref, vmall_ref,
+    vp_ref, vm_ref, w0_ref, w1_ref, top_val_ref, top_rows_ref, res_ref, lo_ref,
+    *, SW: int, CB: int,
+):
+    """Fill variant of :func:`_banded_kernel`: additionally streams the
+    window planes after every column to HBM for traceback (`simd::fill`
+    role).  Same state machine; see the cost kernel for comments."""
+    k = pl.program_id(1)
+    P8 = n_ref.shape[1]
+
+    @pl.when(k == 0)
+    def _init():
+        vp_ref[:] = jnp.full((SW, P8, 128), _ONES, U32)
+        vm_ref[:] = jnp.zeros((SW, P8, 128), U32)
+        w0_ref[:] = sb0_ref[0, 0:SW, 0]
+        w1_ref[:] = sb1_ref[0, 0:SW, 0]
+        top_val_ref[:] = jnp.zeros((P8, 128), jnp.int32)
+        top_rows_ref[:] = jnp.zeros((P8, 128), jnp.int32)
+        res_ref[:] = m_ref[0]
+        lo_ref[0] = 0
+
+    n = n_ref[0]
+    m = m_ref[0]
+    pc = lambda x: jax.lax.population_count(x).astype(jnp.int32)
+
+    def col(t, carry):
+        i = k * CB + t
+
+        @pl.when(shift_ref[i] > 0)
+        def _shift():
+            vp = vp_ref[:]
+            vm = vm_ref[:]
+            top_val_ref[:] = top_val_ref[:] + pc(vp[0]) - pc(vm[0])
+            top_rows_ref[:] = top_rows_ref[:] + W
+            lo = lo_ref[0]
+            off = lo + SW - lo_block_ref[k]
+            vp_ref[:] = jnp.concatenate(
+                [vp[1:], jnp.full((1, P8, 128), _ONES, U32)], 0
+            )
+            vm_ref[:] = jnp.concatenate([vm[1:], jnp.zeros((1, P8, 128), U32)], 0)
+            w0_ref[:] = jnp.concatenate([w0_ref[1:], sb0_ref[0, pl.ds(off, 1), 0]], 0)
+            w1_ref[:] = jnp.concatenate([w1_ref[1:], sb1_ref[0, pl.ds(off, 1), 0]], 0)
+            lo_ref[0] = lo + 1
+
+        ca0 = a0_ref[t, 0]
+        ca1 = a1_ref[t, 0]
+        vp = vp_ref[:]
+        vm = vm_ref[:]
+        w0 = w0_ref[:]
+        w1 = w1_ref[:]
+        hp = jnp.ones((P8, 128), U32)
+        hm = jnp.zeros((P8, 128), U32)
+        new_vp = []
+        new_vm = []
+        for w in range(SW):
+            eqw = (ca0 ^ w0[w]) & (ca1 ^ w1[w])
+            vpw, vmw = vp[w], vm[w]
+            vx = eqw | vmw
+            eq2 = eqw | hm
+            hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+            hpo = vmw | ~(hx | vpw)
+            hmo = vpw & hx
+            hp_next = hpo >> (W - 1)
+            hm_next = hmo >> (W - 1)
+            hpo = (hpo << 1) | hp
+            hmo = (hmo << 1) | hm
+            new_vp.append(hmo | ~(vx | hpo))
+            new_vm.append(hpo & vx)
+            hp, hm = hp_next, hm_next
+        vp2 = jnp.stack(new_vp)
+        vm2 = jnp.stack(new_vm)
+
+        active = i < n
+        vp = jnp.where(active[None], vp2, vp)
+        vm = jnp.where(active[None], vm2, vm)
+        vp_ref[:] = vp
+        vm_ref[:] = vm
+        top_val_ref[:] = jnp.where(active, top_val_ref[:] + 1, top_val_ref[:])
+        # Stream this column's planes out for traceback.
+        vpall_ref[t] = vp[:, None]
+        vmall_ref[t] = vm[:, None]
+
+        done = i == n - 1
+
+        @pl.when(jnp.any(done))
+        def _capture():
+            rows = m - top_rows_ref[:]
+            base = jax.lax.broadcasted_iota(jnp.int32, (SW, P8, 128), 0) * W
+            full = jnp.clip(rows[None] - base, 0, W)
+            mask = jnp.where(
+                full >= W,
+                U32(_ONES),
+                (U32(1) << full.astype(jnp.uint32)) - U32(1),
+            )
+            val = jnp.sum(pc(vp & mask) - pc(vm & mask), axis=0)
+            got = top_val_ref[:] + val
+            got = jnp.where(rows <= SW * W, got, INF32)
+            res_ref[:] = jnp.where(done, got, res_ref[:])
+
+        return carry
+
+    jax.lax.fori_loop(0, CB, col, 0)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        result_ref[0] = res_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_words", "col_block", "pairs_per_program", "interpret")
+)
+def banded_fill_tpu(
+    a0, a1, pb0, pb1, n, m, band_words: int,
+    col_block: int = 16, pairs_per_program: int = 1024, interpret: bool = False,
+):
+    """Pallas fill: (costs, vp_cols, vm_cols) like banded.banded_fill."""
+    n_max, B = a0.shape
+    S = pb0.shape[0]
+    SW = min(band_words, S)
+    PP = min(pairs_per_program, B)
+    assert B % PP == 0 and PP % 128 == 0, (B, PP)
+    P8 = PP // 128
+
+    CB = min(col_block, max(n_max, 1))
+    n_blocks = -(-n_max // CB)
+    n_pad = n_blocks * CB
+    if n_pad != n_max:
+        pad = jnp.zeros((n_pad - n_max, B), jnp.uint32)
+        a0 = jnp.concatenate([a0, pad], 0)
+        a1 = jnp.concatenate([a1, pad], 0)
+
+    shift = shift_at_array(n_max, S, SW)
+    shift = np.concatenate([shift, np.zeros(n_pad - n_max, np.int32)]).astype(np.int32)
+    lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int32)
+    lo_block = lo[np.arange(n_blocks) * CB]
+    shifts_per_block = lo[np.minimum((np.arange(n_blocks) + 1) * CB, n_pad)] - lo_block
+    slab_words = SW + int(shifts_per_block.max(initial=0)) + 1
+    gather_idx = np.minimum(
+        lo_block[:, None] + np.arange(slab_words)[None, :], S - 1
+    )
+    sb0 = jnp.asarray(pb0)[gather_idx.reshape(-1)].reshape(n_blocks, slab_words, B)
+    sb1 = jnp.asarray(pb1)[gather_idx.reshape(-1)].reshape(n_blocks, slab_words, B)
+
+    a0t = a0.reshape(n_pad, B // PP, P8, 128)
+    a1t = a1.reshape(n_pad, B // PP, P8, 128)
+    sb0t = sb0.reshape(n_blocks, slab_words, B // PP, P8, 128)
+    sb1t = sb1.reshape(n_blocks, slab_words, B // PP, P8, 128)
+    nt = n.astype(jnp.int32).reshape(B // PP, P8, 128)
+    mt = m.astype(jnp.int32).reshape(B // PP, P8, 128)
+
+    kernel = functools.partial(_banded_fill_kernel, SW=SW, CB=CB)
+
+    res, vpall, vmall = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B // PP, n_blocks),
+            in_specs=[
+                pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
+                pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
+                pl.BlockSpec(
+                    (1, slab_words, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, slab_words, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)
+                ),
+                pl.BlockSpec((1, P8, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec((1, P8, 128), lambda p, k, *s: (p, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, P8, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec(
+                    (CB, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (CB, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)
+                ),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((P8, 128), jnp.int32),
+                pltpu.VMEM((P8, 128), jnp.int32),
+                pltpu.VMEM((P8, 128), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B // PP, P8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, SW, B // PP, P8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_pad, SW, B // PP, P8, 128), jnp.uint32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, sb0t, sb1t, nt, mt)
+    return (
+        res.reshape(B),
+        vpall.reshape(n_pad, SW, B)[:n_max],
+        vmall.reshape(n_pad, SW, B)[:n_max],
+    )
+
+
+def _banded_ck_kernel(
+    shift_ref, lo_block_ref,
+    a0_ref, a1_ref, sb0_ref, sb1_ref, n_ref, m_ref,
+    result_ref, ckvp_ref, ckvm_ref,
+    vp_ref, vm_ref, w0_ref, w1_ref, top_val_ref, top_rows_ref, res_ref, lo_ref,
+    *, SW: int, CB: int,
+):
+    """Checkpoint variant of :func:`_banded_kernel`: additionally writes the
+    window planes at the *start* of every column block (state after column
+    k*CB) — a tiny readback from which the native traceback recomputes
+    stripes on the fly (trace_banded_ck).  Keep in sync with the cost
+    kernel."""
+    k = pl.program_id(1)
+    P8 = n_ref.shape[1]
+
+    @pl.when(k == 0)
+    def _init():
+        vp_ref[:] = jnp.full((SW, P8, 128), _ONES, U32)
+        vm_ref[:] = jnp.zeros((SW, P8, 128), U32)
+        w0_ref[:] = sb0_ref[0, 0:SW, 0]
+        w1_ref[:] = sb1_ref[0, 0:SW, 0]
+        top_val_ref[:] = jnp.zeros((P8, 128), jnp.int32)
+        top_rows_ref[:] = jnp.zeros((P8, 128), jnp.int32)
+        res_ref[:] = m_ref[0]
+        lo_ref[0] = 0
+
+    # Checkpoint: state entering this block.
+    ckvp_ref[0] = vp_ref[:][:, None]
+    ckvm_ref[0] = vm_ref[:][:, None]
+
+    n = n_ref[0]
+    m = m_ref[0]
+    pc = lambda x: jax.lax.population_count(x).astype(jnp.int32)
+
+    def col(t, carry):
+        i = k * CB + t
+
+        @pl.when(shift_ref[i] > 0)
+        def _shift():
+            vp = vp_ref[:]
+            vm = vm_ref[:]
+            top_val_ref[:] = top_val_ref[:] + pc(vp[0]) - pc(vm[0])
+            top_rows_ref[:] = top_rows_ref[:] + W
+            lo = lo_ref[0]
+            off = lo + SW - lo_block_ref[k]
+            vp_ref[:] = jnp.concatenate(
+                [vp[1:], jnp.full((1, P8, 128), _ONES, U32)], 0
+            )
+            vm_ref[:] = jnp.concatenate([vm[1:], jnp.zeros((1, P8, 128), U32)], 0)
+            w0_ref[:] = jnp.concatenate([w0_ref[1:], sb0_ref[0, pl.ds(off, 1), 0]], 0)
+            w1_ref[:] = jnp.concatenate([w1_ref[1:], sb1_ref[0, pl.ds(off, 1), 0]], 0)
+            lo_ref[0] = lo + 1
+
+        ca0 = a0_ref[t, 0]
+        ca1 = a1_ref[t, 0]
+        vp = vp_ref[:]
+        vm = vm_ref[:]
+        w0 = w0_ref[:]
+        w1 = w1_ref[:]
+        hp = jnp.ones((P8, 128), U32)
+        hm = jnp.zeros((P8, 128), U32)
+        new_vp = []
+        new_vm = []
+        for w in range(SW):
+            eqw = (ca0 ^ w0[w]) & (ca1 ^ w1[w])
+            vpw, vmw = vp[w], vm[w]
+            vx = eqw | vmw
+            eq2 = eqw | hm
+            hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+            hpo = vmw | ~(hx | vpw)
+            hmo = vpw & hx
+            hp_next = hpo >> (W - 1)
+            hm_next = hmo >> (W - 1)
+            hpo = (hpo << 1) | hp
+            hmo = (hmo << 1) | hm
+            new_vp.append(hmo | ~(vx | hpo))
+            new_vm.append(hpo & vx)
+            hp, hm = hp_next, hm_next
+        vp2 = jnp.stack(new_vp)
+        vm2 = jnp.stack(new_vm)
+
+        active = i < n
+        vp_ref[:] = jnp.where(active[None], vp2, vp)
+        vm_ref[:] = jnp.where(active[None], vm2, vm)
+        top_val_ref[:] = jnp.where(active, top_val_ref[:] + 1, top_val_ref[:])
+
+        done = i == n - 1
+
+        @pl.when(jnp.any(done))
+        def _capture():
+            vp = vp_ref[:]
+            vm = vm_ref[:]
+            rows = m - top_rows_ref[:]
+            base = jax.lax.broadcasted_iota(jnp.int32, (SW, P8, 128), 0) * W
+            full = jnp.clip(rows[None] - base, 0, W)
+            mask = jnp.where(
+                full >= W,
+                U32(_ONES),
+                (U32(1) << full.astype(jnp.uint32)) - U32(1),
+            )
+            val = jnp.sum(pc(vp & mask) - pc(vm & mask), axis=0)
+            got = top_val_ref[:] + val
+            got = jnp.where(rows <= SW * W, got, INF32)
+            res_ref[:] = jnp.where(done, got, res_ref[:])
+
+        return carry
+
+    jax.lax.fori_loop(0, CB, col, 0)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        result_ref[0] = res_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_words", "col_block", "pairs_per_program", "interpret")
+)
+def banded_ck_tpu(
+    a0, a1, pb0, pb1, n, m, band_words: int,
+    col_block: int = 128, pairs_per_program: int = 1024, interpret: bool = False,
+):
+    """Banded cost + per-block window checkpoints (Pallas kernel).
+
+    Returns (costs (B,), ck_vp (n_blocks, SW, B), ck_vm) where checkpoint k
+    is the window state after column k*CB (CB = min(col_block, n_max)); the
+    native trace_banded_ck recomputes the stripes in between.
+    """
+    n_max, B = a0.shape
+    S = pb0.shape[0]
+    SW = min(band_words, S)
+    PP = min(pairs_per_program, B)
+    assert B % PP == 0 and PP % 128 == 0, (B, PP)
+    P8 = PP // 128
+
+    CB = min(col_block, max(n_max, 1))
+    n_blocks = -(-n_max // CB)
+    n_pad = n_blocks * CB
+    if n_pad != n_max:
+        pad = jnp.zeros((n_pad - n_max, B), jnp.uint32)
+        a0 = jnp.concatenate([a0, pad], 0)
+        a1 = jnp.concatenate([a1, pad], 0)
+
+    shift = shift_at_array(n_max, S, SW)
+    shift = np.concatenate([shift, np.zeros(n_pad - n_max, np.int32)]).astype(np.int32)
+    lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int32)
+    lo_block = lo[np.arange(n_blocks) * CB]
+    shifts_per_block = lo[np.minimum((np.arange(n_blocks) + 1) * CB, n_pad)] - lo_block
+    slab_words = SW + int(shifts_per_block.max(initial=0)) + 1
+    gather_idx = np.minimum(
+        lo_block[:, None] + np.arange(slab_words)[None, :], S - 1
+    )
+    sb0 = jnp.asarray(pb0)[gather_idx.reshape(-1)].reshape(n_blocks, slab_words, B)
+    sb1 = jnp.asarray(pb1)[gather_idx.reshape(-1)].reshape(n_blocks, slab_words, B)
+
+    a0t = a0.reshape(n_pad, B // PP, P8, 128)
+    a1t = a1.reshape(n_pad, B // PP, P8, 128)
+    sb0t = sb0.reshape(n_blocks, slab_words, B // PP, P8, 128)
+    sb1t = sb1.reshape(n_blocks, slab_words, B // PP, P8, 128)
+    nt = n.astype(jnp.int32).reshape(B // PP, P8, 128)
+    mt = m.astype(jnp.int32).reshape(B // PP, P8, 128)
+
+    kernel = functools.partial(_banded_ck_kernel, SW=SW, CB=CB)
+
+    res, ckvp, ckvm = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B // PP, n_blocks),
+            in_specs=[
+                pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
+                pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
+                pl.BlockSpec(
+                    (1, slab_words, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, slab_words, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)
+                ),
+                pl.BlockSpec((1, P8, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec((1, P8, 128), lambda p, k, *s: (p, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, P8, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec((1, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)),
+                pl.BlockSpec((1, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((P8, 128), jnp.int32),
+                pltpu.VMEM((P8, 128), jnp.int32),
+                pltpu.VMEM((P8, 128), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B // PP, P8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, SW, B // PP, P8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_blocks, SW, B // PP, P8, 128), jnp.uint32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, sb0t, sb1t, nt, mt)
+    return (
+        res.reshape(B),
+        ckvp.reshape(n_blocks, SW, B),
+        ckvm.reshape(n_blocks, SW, B),
+    )

@@ -223,12 +223,38 @@ class BatchAligner:
                 break
             sw *= 2
         sw = min(sw, S)
+        import jax
+
+        B = a0.shape[1]
+        pp = min(1024, B)
+        while pp >= 128 and B % pp:
+            pp //= 2
+        shift = banded.shift_at_array(n_max, S, sw)
+        if jax.default_backend() == "tpu" and pp >= 128:
+            # Checkpoint path: O(n/CB) readback; native C++ recomputes the
+            # stripes (the sparse-blocks trace, `trace.rs:71-125` role).
+            from ..ops.pallas_banded import banded_ck_tpu
+
+            CB = min(128, max(n_max, 1))
+            got, ckvp, ckvm = banded_ck_tpu(
+                a0, a1, pb0, pb1, n, m,
+                band_words=sw, col_block=CB, pairs_per_program=pp,
+            )
+            ckvp = np.asarray(ckvp)
+            ckvm = np.asarray(ckvm)
+            for slot, i in enumerate(idxs):
+                a, b = pairs[i]
+                cost, cigar = native.trace_banded_ck(
+                    a, b, S, ckvp[:, :, slot], ckvm[:, :, slot], shift, sw, CB
+                )
+                assert cost == costs[i], (cost, costs[i])
+                results[i] = (cost, cigar)
+            return
         got, vp_cols, vm_cols = banded.banded_fill(
             a0, a1, pb0, pb1, n, m, band_words=sw
         )
         vp_cols = np.asarray(vp_cols)
         vm_cols = np.asarray(vm_cols)
-        shift = banded.shift_at_array(n_max, S, sw)
         lo = np.cumsum(shift).astype(np.int32)  # top word after col i's shift
         for slot, i in enumerate(idxs):
             a, b = pairs[i]

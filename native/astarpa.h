@@ -31,6 +31,16 @@ int astarpa_align(const uint8_t* a, int n, const uint8_t* b, int m, int r,
                   int k, int prune, int dt, int use_gap_cost,
                   char** cigar_out, int64_t* stats_out);
 
+/* Traceback from per-block banded-DP checkpoints (ck_vp/ck_vm: (n_ck, SW)
+ * words = window state after every col_block columns); the stripes in
+ * between are recomputed internally.  S is the bucket's padded profile
+ * width in words; shift_at is the bucket's window schedule.  Returns the
+ * banded cost and a malloc'd CIGAR, or < 0 on inconsistency. */
+int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b, int m, int S,
+                    const uint32_t* ck_vp, const uint32_t* ck_vm, int n_ck,
+                    const int32_t* shift_at, int SW, int col_block,
+                    char** cigar_out);
+
 /* Traceback through stored banded-DP window planes for one pair (see
  * astarpa_tpu/ops/banded.py::banded_fill).  vp/vm are (n * SW) uint32 words
  * row-major; lo is the per-column window top word index.  Returns the

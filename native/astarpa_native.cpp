@@ -1111,6 +1111,239 @@ int astarpa_gcsh(const uint8_t* a, int n, const uint8_t* b, int m, int r,
 
 void astarpa_free(char* p) { free(p); }
 
+namespace {
+
+// Shared banded-DP helpers for the checkpointed traceback: an exact C++
+// twin of one column of `astarpa_tpu/ops/banded.py::banded_cost_block`
+// (shift-before-column, h=+1 entering the window top, fresh +1/row words
+// entering at the bottom).
+struct BandedRecompute {
+  const uint8_t* a;
+  i32 n, m, S, SW;
+  const i32* shift_at;  // (n,)
+  std::vector<u32> pb0, pb1;  // negated packed b planes, padded code 3
+
+  void init(const uint8_t* a_, i32 n_, const uint8_t* b, i32 m_, i32 S_,
+            i32 SW_, const i32* shift_at_) {
+    a = a_; n = n_; m = m_; SW = SW_; shift_at = shift_at_;
+    // S is the *bucket's* padded profile width (rows >= m read as code 3,
+    // matching ops.bitpack.pack_b).
+    S = std::max(S_, std::max(1, (m + 31) / 32));
+    pb0.assign(S, 0);
+    pb1.assign(S, 0);
+    for (i32 j = 0; j < S * 32; j++) {
+      u32 c = j < m ? u32(code(b[j])) : 3;
+      pb0[j / 32] |= u32(((c & 1) ^ 1)) << (j % 32);
+      pb1[j / 32] |= u32((((c >> 1) & 1) ^ 1)) << (j % 32);
+    }
+  }
+
+  // One column over the window; vp/vm have SW words; lo = window top word.
+  void column(i32 col /*1-based*/, i32 lo, u32* vp, u32* vm) const {
+    u32 ca = u32(code(a[col - 1]));
+    u32 a0 = ca & 1 ? 0xFFFFFFFFu : 0;
+    u32 a1 = (ca >> 1) & 1 ? 0xFFFFFFFFu : 0;
+    u32 hp = 1, hm = 0;
+    for (i32 w = 0; w < SW; w++) {
+      i32 word = std::min(lo + w, S - 1);
+      u32 eq = (a0 ^ pb0[word]) & (a1 ^ pb1[word]);
+      u32 vpw = vp[w], vmw = vm[w];
+      u32 vx = eq | vmw;
+      u32 eq2 = eq | hm;
+      u32 hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2;
+      u32 hpo = vmw | ~(hx | vpw);
+      u32 hmo = vpw & hx;
+      u32 hp_next = hpo >> 31, hm_next = hmo >> 31;
+      hpo = (hpo << 1) | hp;
+      hmo = (hmo << 1) | hm;
+      vp[w] = hmo | ~(vx | hpo);
+      vm[w] = hpo & vx;
+      hp = hp_next;
+      hm = hm_next;
+    }
+  }
+
+  // Apply the pre-column shift for column `col` (1-based); returns the
+  // absorbed word value (top_val delta) or 0.
+  i32 maybe_shift(i32 col, i32& lo, u32* vp, u32* vm) const {
+    if (!shift_at[col - 1]) return 0;
+    i32 delta = __builtin_popcount(vp[0]) - __builtin_popcount(vm[0]);
+    for (i32 w = 0; w + 1 < SW; w++) {
+      vp[w] = vp[w + 1];
+      vm[w] = vm[w + 1];
+    }
+    vp[SW - 1] = 0xFFFFFFFFu;
+    vm[SW - 1] = 0;
+    lo++;
+    return delta;
+  }
+};
+
+}  // namespace
+
+// Traceback from per-block checkpoints of the banded DP: checkpoint k holds
+// the window planes after column k*CB (checkpoint 0 = all-ones init); the
+// stripes in between are recomputed on the fly (the reference's
+// sparse-blocks + fill-on-demand trace, `astarpa2/src/blocks/trace.rs:71-125`,
+// re-shaped for the TPU batch kernel whose device->host readback should stay
+// tiny).  Returns the banded cost and a malloc'd CIGAR, or -1.
+extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
+                               int m, int S, const uint32_t* ck_vp,
+                               const uint32_t* ck_vm, int n_ck_dev,
+                               const int32_t* shift_at, int SW, int CB,
+                               char** cigar_out) {
+  BandedRecompute rc;
+  rc.init(a, n, b, m, S, SW, shift_at);
+
+  // Forward prefix data per stripe: lo and top_val at each checkpoint.
+  i32 n_ck = n / CB + 1;  // checkpoints at columns 0, CB, 2CB, ...
+  std::vector<i32> lo_ck(n_ck), tv_ck(n_ck);
+  {
+    std::vector<u32> vp(SW, 0xFFFFFFFFu), vm(SW, 0);
+    i32 lo = 0, tv = 0;
+    lo_ck[0] = 0;
+    tv_ck[0] = 0;
+    for (i32 col = 1; col <= n; col++) {
+      tv += rc.maybe_shift(col, lo, vp.data(), vm.data());
+      rc.column(col, lo, vp.data(), vm.data());
+      tv += 1;
+      if (col % CB == 0 && col / CB < n_ck) {
+        lo_ck[col / CB] = lo;
+        tv_ck[col / CB] = tv;
+        // Cross-check the device checkpoint (cheap, catches drift).
+        if (col / CB < n_ck_dev) {
+          const u32* dev = ck_vp + (size_t)(col / CB) * SW;
+          if (memcmp(dev, vp.data(), SW * 4) != 0) return -2;
+        }
+      }
+    }
+  }
+
+  // Stripe cache: planes, lo, top_val for columns (k*CB, (k+1)*CB].
+  i32 cur_stripe = -1;
+  std::vector<u32> svp, svm;  // (CB+1, SW): index 0 = checkpoint state
+  std::vector<i32> slo, stv;
+
+  auto load_stripe = [&](i32 k) {
+    if (k == cur_stripe) return;
+    cur_stripe = k;
+    i32 cols = std::min(CB, n - k * CB);
+    svp.assign((size_t)(cols + 1) * SW, 0);
+    svm.assign((size_t)(cols + 1) * SW, 0);
+    slo.assign(cols + 1, 0);
+    stv.assign(cols + 1, 0);
+    if (k == 0) {
+      for (i32 w = 0; w < SW; w++) svp[w] = 0xFFFFFFFFu;
+    } else {
+      memcpy(svp.data(), ck_vp + (size_t)k * SW, SW * 4);
+      memcpy(svm.data(), ck_vm + (size_t)k * SW, SW * 4);
+    }
+    slo[0] = lo_ck[k];
+    stv[0] = tv_ck[k];
+    std::vector<u32> vp(svp.begin(), svp.begin() + SW);
+    std::vector<u32> vm(svm.begin(), svm.begin() + SW);
+    i32 lo = slo[0], tv = stv[0];
+    for (i32 t = 1; t <= cols; t++) {
+      i32 col = k * CB + t;
+      tv += rc.maybe_shift(col, lo, vp.data(), vm.data());
+      rc.column(col, lo, vp.data(), vm.data());
+      tv += 1;
+      memcpy(&svp[(size_t)t * SW], vp.data(), SW * 4);
+      memcpy(&svm[(size_t)t * SW], vm.data(), SW * 4);
+      slo[t] = lo;
+      stv[t] = tv;
+    }
+  };
+
+  auto state_at = [&](i32 col, const u32** vp, const u32** vm, i32* lo,
+                      i32* tv) {
+    i32 k = col / CB;
+    i32 t = col - k * CB;
+    if (t == 0 && k > 0) {
+      k -= 1;
+      t = CB;
+    }
+    load_stripe(k);
+    *vp = &svp[(size_t)t * SW];
+    *vm = &svm[(size_t)t * SW];
+    *lo = slo[t];
+    *tv = stv[t];
+  };
+
+  auto dval = [&](i32 col, i32 j) -> i32 {
+    const u32 *vp, *vm;
+    i32 lo, tv;
+    state_at(col, &vp, &vm, &lo, &tv);
+    i32 top = lo * 32;
+    i32 rel = j - top;
+    if (rel < 0) return INF;
+    i32 v = 0;
+    i32 full = std::min(rel, SW * 32);
+    for (i32 w = 0; w * 32 < full; w++) {
+      i32 bits = std::min(32, full - w * 32);
+      u32 mask = bits >= 32 ? 0xFFFFFFFFu : ((u32(1) << bits) - 1);
+      v += __builtin_popcount(vp[w] & mask) - __builtin_popcount(vm[w] & mask);
+    }
+    if (rel > SW * 32) v += rel - SW * 32;
+    return tv + v;
+  };
+  auto top_rows_at = [&](i32 col) -> i32 {
+    const u32 *vp, *vm;
+    i32 lo, tv;
+    state_at(col, &vp, &vm, &lo, &tv);
+    return lo * 32;
+  };
+
+  i32 i = n, j = m;
+  if (j < top_rows_at(n)) return -3;
+  i32 g = dval(n, m);
+  i32 total = g;
+  std::string rev;
+  while (i > 0 || j > 0) {
+    if (i == 0) {
+      rev.append(j, 'I');
+      break;
+    }
+    if (j == 0) {
+      rev.append(i, 'D');
+      break;
+    }
+    if (j <= top_rows_at(i)) {
+      rev += 'D';
+      i--;
+      g--;
+      continue;
+    }
+    bool eq = a[i - 1] == b[j - 1];
+    i32 d_left = dval(i, j - 1);
+    i32 d_diag = dval(i - 1, j - 1);
+    i32 d_up = dval(i - 1, j);
+    if (eq && d_diag == g) {
+      rev += '=';
+      i--; j--;
+    } else if (d_up != INF && d_up + 1 == g) {
+      rev += 'D';
+      i--; g--;
+    } else if (d_left != INF && d_left + 1 == g) {
+      rev += 'I';
+      j--; g--;
+    } else if (d_diag != INF && d_diag + 1 == g) {
+      rev += 'X';
+      i--; j--; g--;
+    } else {
+      return -4;
+    }
+  }
+  if (cigar_out) {
+    CigarBuilder cb;
+    for (auto it = rev.rbegin(); it != rev.rend(); ++it) cb.push(*it);
+    cb.flush();
+    *cigar_out = (char*)malloc(cb.s.size() + 1);
+    memcpy(*cigar_out, cb.s.c_str(), cb.s.size() + 1);
+  }
+  return total;
+}
+
 // Traceback through stored banded-DP window planes (one pair).
 //
 // Inputs are the per-column window bit-planes produced by the banded batch

@@ -137,3 +137,42 @@ def test_banded_fill_matches_cost():
     )
     assert (np.asarray(fill_costs) == costs).all()
     assert vp_cols.shape[0] == a0.shape[0]
+
+
+def test_trace_banded_ck_cpu():
+    """Checkpointed native traceback: derive checkpoints from the jnp fill
+    (= what the TPU ck kernel emits) and verify exact CIGARs."""
+    from astarpa_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    CB, SW = 64, 8
+    pairs = _mixed_pairs(70, count=10)
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=8)
+    a0, a1, pb0, pb1, n, m = args
+    n_max, S = a0.shape[0], pb0.shape[0]
+    costs, vp_cols, vm_cols = banded.banded_fill(a0, a1, pb0, pb1, n, m, band_words=SW)
+    costs = np.asarray(costs)
+    vp_cols = np.asarray(vp_cols)
+    vm_cols = np.asarray(vm_cols)
+    shift = banded.shift_at_array(n_max, S, SW)
+    n_blocks = -(-n_max // CB)
+    B = a0.shape[1]
+    ckvp = np.zeros((n_blocks, SW, B), np.uint32)
+    ckvm = np.zeros((n_blocks, SW, B), np.uint32)
+    ckvp[0] = 0xFFFFFFFF
+    for k in range(1, n_blocks):
+        ckvp[k] = vp_cols[k * CB - 1]
+        ckvm[k] = vm_cols[k * CB - 1]
+    checked = 0
+    for slot, (a, b) in enumerate(pairs):
+        thr = banded.band_threshold(SW, len(a), len(b), n_max, S * 32)
+        if costs[slot] > thr:
+            continue
+        cost, cig = native.trace_banded_ck(
+            a, b, S, ckvp[:, :, slot], ckvm[:, :, slot], shift, SW, CB
+        )
+        assert cost == costs[slot] == oracle.levenshtein(a, b)
+        assert cig.verify(a, b) == cost
+        checked += 1
+    assert checked >= len(pairs) // 2
