@@ -16,9 +16,16 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+import os
+
 from ..ops import bitpack
 from ..ops.bitpack import W, ONES
 from ..ops.block_kernel import BlockKernel
+
+#: Debug self-check of incremental doubling (`blocks.rs:473-543`): set
+#: ASTARPA_TPU_DEBUG_ID=1 to recompute every block without ID and assert
+#: bit-equality.  Enabled by the test suite.
+_DEBUG_ID = os.environ.get("ASTARPA_TPU_DEBUG_ID", "") == "1"
 
 
 def round_out(j_range: tuple[int, int]) -> tuple[int, int]:
@@ -319,6 +326,22 @@ class Blocks:
             self._compute_slice(i0, i1, r01, next_block, hmode="output")
             self._compute_slice(i0, i1, r2, next_block, hmode="input")
         next_block.recompute_bot_val()
+
+        if _DEBUG_ID:
+            # Debug self-check (`blocks.rs:473-543`): recompute the block
+            # without incremental doubling and assert bit-equality.
+            check = Block.default()
+            check.i_range = i_range
+            check.j_range = rounded
+            check.offset = rounded[0]
+            init_v_with_overlap(prev_block, check)
+            check.vp, check.vm, _, _ = self.kernel.compute(
+                i_range[0], i_range[1], w0, w1, check.vp, check.vm
+            )
+            assert (np.asarray(check.vp) == np.asarray(next_block.vp)).all(), (
+                "incremental doubling v mismatch"
+            )
+            assert (np.asarray(check.vm) == np.asarray(next_block.vm)).all()
 
     def _compute_slice(self, i0, i1, wr, block: Block, hmode: str) -> None:
         """Run the kernel on word rows ``wr``; handle the HMode h plumbing

@@ -9,9 +9,9 @@
 //   - seeds & potentials                 (pa-heuristic/src/seeds.rs)
 //   - r=1 / r=2 q-gram match finding     (matches/exact.rs, inexact.rs)
 //   - match pruning w/ consistency       (prune.rs:109-366)
-//   - GCSH/CSH layered contours          (contour/hint_contours.rs; nested-
-//     layer formulation, rebuild-on-prune like the Python runtime so both
-//     implementations stay bit-identical)
+//   - GCSH/CSH layered contours          (contour/hint_contours.rs; the
+//     faithful incremental structure: hint window probes, prune ripple,
+//     whole-layer removal driving O(1) priority-queue shifts)
 //   - bucket queue                       (bucket_queue.rs)
 //   - A* over Pos states and DT states   (astar.rs:35-301, astar_dt.rs)
 //

@@ -83,3 +83,19 @@ def test_astarpa_entry():
         assert cigar.verify(a, b) == cost
     cost, _ = api.astarpa(b"ACTCGCT", b"AACTCGTT")
     assert cost == 2
+
+
+def test_incremental_doubling_self_check(monkeypatch):
+    """Debug recompute (`blocks.rs:473-543`): every ID block must be
+    bit-identical to a from-scratch computation."""
+    from astarpa_tpu.aligners import block as block_mod
+    from astarpa_tpu.aligners.astarpa2 import AstarPa2Params
+    from astarpa_tpu import generate, oracle
+
+    monkeypatch.setattr(block_mod, "_DEBUG_ID", True)
+    aligner = AstarPa2Params.full().make_aligner(True)
+    for seed in (1, 2):
+        a, b = generate.uniform_seeded(400, 0.15, seed)
+        cost, cigar = aligner.align(a, b)
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
