@@ -93,6 +93,17 @@ def params_from_args(args) -> AlignerParams:
     )
 
 
+class BatchStatsProxy:
+    """Minimal stats stand-in for the batch CIGAR path (align() tracks its
+    own doubling internally)."""
+
+    def __init__(self, pairs):
+        self.pairs = len(pairs)
+        self.buckets = 0
+        self.band_retries = 0
+        self.aligned_bp = sum(len(a) for a, _ in pairs)
+
+
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
 
@@ -124,9 +135,14 @@ def main(argv=None) -> int:
             from .parallel.runner import BatchAligner
 
             ba = BatchAligner(band_words=args.band_words)
-            costs, bstats = ba.cost_with_stats(pairs)
-            for c in costs:
-                out.write(f"{c},\n")
+            if args.no_cigar:
+                costs, bstats = ba.cost_with_stats(pairs)
+                for c in costs:
+                    out.write(f"{c},\n")
+            else:
+                bstats = BatchStatsProxy(pairs)
+                for cost, cigar in ba.align(pairs):
+                    out.write(f"{cost},{cigar.to_string()}\n")
             if args.stats:
                 dt = time.perf_counter() - t0
                 print(
