@@ -95,38 +95,79 @@ def _banded_kernel(
             w1_ref[:] = jnp.concatenate([w1_ref[1:], sb1_ref[0, pl.ds(off, 1), 0]], 0)
             lo_ref[0] = lo + 1
 
-        # --- one banded column; the word loop is fully unrolled.
+
+        # --- one banded column.  Small bands: fully unrolled (register h
+        # chain).  Large bands: fori over groups of 8 words (one sublane
+        # tile) so the kernel size stays bounded — a fully unrolled SW=512
+        # body is megabytes of IR and breaks the compiler.
         ca0 = a0_ref[t, 0]
         ca1 = a1_ref[t, 0]
-        vp = vp_ref[:]
-        vm = vm_ref[:]
-        w0 = w0_ref[:]
-        w1 = w1_ref[:]
-        hp = jnp.ones((P8, 128), U32)
-        hm = jnp.zeros((P8, 128), U32)
-        new_vp = []
-        new_vm = []
-        for w in range(SW):
-            eqw = (ca0 ^ w0[w]) & (ca1 ^ w1[w])
-            vpw, vmw = vp[w], vm[w]
-            vx = eqw | vmw
-            eq2 = eqw | hm
-            hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
-            hpo = vmw | ~(hx | vpw)
-            hmo = vpw & hx
-            hp_next = hpo >> (W - 1)
-            hm_next = hmo >> (W - 1)
-            hpo = (hpo << 1) | hp
-            hmo = (hmo << 1) | hm
-            new_vp.append(hmo | ~(vx | hpo))
-            new_vm.append(hpo & vx)
-            hp, hm = hp_next, hm_next
-        vp2 = jnp.stack(new_vp)
-        vm2 = jnp.stack(new_vm)
+        active = i < n
+        if SW <= 64:
+            vp = vp_ref[:]
+            vm = vm_ref[:]
+            w0 = w0_ref[:]
+            w1 = w1_ref[:]
+            hp = jnp.ones((P8, 128), U32)
+            hm = jnp.zeros((P8, 128), U32)
+            new_vp = []
+            new_vm = []
+            for w in range(SW):
+                eqw = (ca0 ^ w0[w]) & (ca1 ^ w1[w])
+                vpw, vmw = vp[w], vm[w]
+                vx = eqw | vmw
+                eq2 = eqw | hm
+                hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+                hpo = vmw | ~(hx | vpw)
+                hmo = vpw & hx
+                hp_next = hpo >> (W - 1)
+                hm_next = hmo >> (W - 1)
+                hpo = (hpo << 1) | hp
+                hmo = (hmo << 1) | hm
+                new_vp.append(hmo | ~(vx | hpo))
+                new_vm.append(hpo & vx)
+                hp, hm = hp_next, hm_next
+            vp2 = jnp.stack(new_vp)
+            vm2 = jnp.stack(new_vm)
+            vp_ref[:] = jnp.where(active[None], vp2, vp)
+            vm_ref[:] = jnp.where(active[None], vm2, vm)
+        else:
+            assert SW % 8 == 0, "large bands must be multiples of 8 words"
 
-        active = i < n  # (P8, 128) vector predicate
-        vp_ref[:] = jnp.where(active[None], vp2, vp)
-        vm_ref[:] = jnp.where(active[None], vm2, vm)
+            def group(g, h):
+                hp, hm = h
+                base = g * 8
+                vp = vp_ref[pl.ds(base, 8)]
+                vm = vm_ref[pl.ds(base, 8)]
+                w0 = w0_ref[pl.ds(base, 8)]
+                w1 = w1_ref[pl.ds(base, 8)]
+                new_vp = []
+                new_vm = []
+                for w in range(8):
+                    eqw = (ca0 ^ w0[w]) & (ca1 ^ w1[w])
+                    vpw, vmw = vp[w], vm[w]
+                    vx = eqw | vmw
+                    eq2 = eqw | hm
+                    hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+                    hpo = vmw | ~(hx | vpw)
+                    hmo = vpw & hx
+                    hp_next = hpo >> (W - 1)
+                    hm_next = hmo >> (W - 1)
+                    hpo = (hpo << 1) | hp
+                    hmo = (hmo << 1) | hm
+                    new_vp.append(hmo | ~(vx | hpo))
+                    new_vm.append(hpo & vx)
+                    hp, hm = hp_next, hm_next
+                vp2 = jnp.stack(new_vp)
+                vm2 = jnp.stack(new_vm)
+                vp_ref[pl.ds(base, 8)] = jnp.where(active[None], vp2, vp)
+                vm_ref[pl.ds(base, 8)] = jnp.where(active[None], vm2, vm)
+                return hp, hm
+
+            jax.lax.fori_loop(
+                0, SW // 8, group,
+                (jnp.ones((P8, 128), U32), jnp.zeros((P8, 128), U32)),
+            )
         top_val_ref[:] = jnp.where(active, top_val_ref[:] + 1, top_val_ref[:])
 
         # --- capture per-pair results at their final column.
@@ -182,8 +223,16 @@ def banded_cost_tpu(
     P8 = PP // 128
 
     if col_block is None:
-        # Keep the double-buffered a-plane block around ~8MB of VMEM.
-        col_block = max(128, min(512, (2**23) // (PP * 16)))
+        # VMEM bytes: window state 16*SW*PP (4 uint32 arrays) + profile
+        # slabs 16*(SW+~32)*PP (2 arrays, double-buffered); the rest of
+        # ~12MB goes to the double-buffered a-plane blocks (32*CB*PP).
+        budget = 12 * 2**20 - 16 * SW * PP - 16 * (SW + 32) * PP
+        assert budget > 32 * 8 * PP, (
+            f"band_words={SW} too large for pairs_per_program={PP}; reduce PP"
+        )
+        col_block = max(8, min(512, budget // (32 * PP)))
+        if SW > 64:
+            col_block = max(8, col_block // 8 * 8)
     CB = min(col_block, max(n_max, 1))
     n_blocks = -(-n_max // CB)
     n_pad = n_blocks * CB
@@ -522,37 +571,79 @@ def _banded_ck_kernel(
             w1_ref[:] = jnp.concatenate([w1_ref[1:], sb1_ref[0, pl.ds(off, 1), 0]], 0)
             lo_ref[0] = lo + 1
 
+
+        # --- one banded column.  Small bands: fully unrolled (register h
+        # chain).  Large bands: fori over groups of 8 words (one sublane
+        # tile) so the kernel size stays bounded — a fully unrolled SW=512
+        # body is megabytes of IR and breaks the compiler.
         ca0 = a0_ref[t, 0]
         ca1 = a1_ref[t, 0]
-        vp = vp_ref[:]
-        vm = vm_ref[:]
-        w0 = w0_ref[:]
-        w1 = w1_ref[:]
-        hp = jnp.ones((P8, 128), U32)
-        hm = jnp.zeros((P8, 128), U32)
-        new_vp = []
-        new_vm = []
-        for w in range(SW):
-            eqw = (ca0 ^ w0[w]) & (ca1 ^ w1[w])
-            vpw, vmw = vp[w], vm[w]
-            vx = eqw | vmw
-            eq2 = eqw | hm
-            hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
-            hpo = vmw | ~(hx | vpw)
-            hmo = vpw & hx
-            hp_next = hpo >> (W - 1)
-            hm_next = hmo >> (W - 1)
-            hpo = (hpo << 1) | hp
-            hmo = (hmo << 1) | hm
-            new_vp.append(hmo | ~(vx | hpo))
-            new_vm.append(hpo & vx)
-            hp, hm = hp_next, hm_next
-        vp2 = jnp.stack(new_vp)
-        vm2 = jnp.stack(new_vm)
-
         active = i < n
-        vp_ref[:] = jnp.where(active[None], vp2, vp)
-        vm_ref[:] = jnp.where(active[None], vm2, vm)
+        if SW <= 64:
+            vp = vp_ref[:]
+            vm = vm_ref[:]
+            w0 = w0_ref[:]
+            w1 = w1_ref[:]
+            hp = jnp.ones((P8, 128), U32)
+            hm = jnp.zeros((P8, 128), U32)
+            new_vp = []
+            new_vm = []
+            for w in range(SW):
+                eqw = (ca0 ^ w0[w]) & (ca1 ^ w1[w])
+                vpw, vmw = vp[w], vm[w]
+                vx = eqw | vmw
+                eq2 = eqw | hm
+                hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+                hpo = vmw | ~(hx | vpw)
+                hmo = vpw & hx
+                hp_next = hpo >> (W - 1)
+                hm_next = hmo >> (W - 1)
+                hpo = (hpo << 1) | hp
+                hmo = (hmo << 1) | hm
+                new_vp.append(hmo | ~(vx | hpo))
+                new_vm.append(hpo & vx)
+                hp, hm = hp_next, hm_next
+            vp2 = jnp.stack(new_vp)
+            vm2 = jnp.stack(new_vm)
+            vp_ref[:] = jnp.where(active[None], vp2, vp)
+            vm_ref[:] = jnp.where(active[None], vm2, vm)
+        else:
+            assert SW % 8 == 0, "large bands must be multiples of 8 words"
+
+            def group(g, h):
+                hp, hm = h
+                base = g * 8
+                vp = vp_ref[pl.ds(base, 8)]
+                vm = vm_ref[pl.ds(base, 8)]
+                w0 = w0_ref[pl.ds(base, 8)]
+                w1 = w1_ref[pl.ds(base, 8)]
+                new_vp = []
+                new_vm = []
+                for w in range(8):
+                    eqw = (ca0 ^ w0[w]) & (ca1 ^ w1[w])
+                    vpw, vmw = vp[w], vm[w]
+                    vx = eqw | vmw
+                    eq2 = eqw | hm
+                    hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+                    hpo = vmw | ~(hx | vpw)
+                    hmo = vpw & hx
+                    hp_next = hpo >> (W - 1)
+                    hm_next = hmo >> (W - 1)
+                    hpo = (hpo << 1) | hp
+                    hmo = (hmo << 1) | hm
+                    new_vp.append(hmo | ~(vx | hpo))
+                    new_vm.append(hpo & vx)
+                    hp, hm = hp_next, hm_next
+                vp2 = jnp.stack(new_vp)
+                vm2 = jnp.stack(new_vm)
+                vp_ref[pl.ds(base, 8)] = jnp.where(active[None], vp2, vp)
+                vm_ref[pl.ds(base, 8)] = jnp.where(active[None], vm2, vm)
+                return hp, hm
+
+            jax.lax.fori_loop(
+                0, SW // 8, group,
+                (jnp.ones((P8, 128), U32), jnp.zeros((P8, 128), U32)),
+            )
         top_val_ref[:] = jnp.where(active, top_val_ref[:] + 1, top_val_ref[:])
 
         done = i == n - 1

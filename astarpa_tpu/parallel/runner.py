@@ -121,18 +121,16 @@ class BatchAligner:
         from ..ops import banded
 
         B = a0.shape[1]
-        pp = min(4096, B)
-        while pp >= 128 and B % pp:
-            pp //= 2
-        use_pallas = (
-            self.mesh is None
-            and jax.default_backend() == "tpu"
-            and pp >= 128
-            # VMEM budget: 4 window arrays + profile slab per program (the
-            # full b-profile stays in HBM; slabs are pre-gathered per block).
-            and (4 * sw + 2 * (sw + 20)) * pp * 4 < 6 * 2**20
-        )
-        if use_pallas:
+        if sw > 64:
+            # Large bands use the grouped word loop: multiples of 8 words.
+            sw = min(-(-sw // 8) * 8, S)
+        # Largest pairs-per-program whose window state + slabs fit VMEM.
+        pp = 0
+        for cand in (4096, 2048, 1024, 512, 256, 128):
+            if cand <= B and B % cand == 0 and 32 * (2 * sw + 32) * cand // 2 < 9 * 2**20:
+                pp = cand
+                break
+        if self.mesh is None and jax.default_backend() == "tpu" and pp >= 128:
             from ..ops.pallas_banded import banded_cost_tpu
 
             return banded_cost_tpu(
