@@ -20,8 +20,12 @@ the VPU:
   predicated register rotation every ~W columns.
 
 Band doubling, bucketing, and acceptance live in
-:mod:`astarpa_tpu.parallel.runner`; this kernel is cost-only (the CIGAR
-path recomputes stripes via the block aligner).
+:mod:`astarpa_tpu.parallel.runner`.  Three kernels share the state machine:
+cost-only (`banded_cost_tpu`), full fill (`banded_fill_tpu`, stores every
+column's planes), and checkpointed (`banded_ck_tpu`, stores one state per
+column block — the production CIGAR path: the native trace_banded_ck
+recomputes the stripes from checkpoints, keeping device->host readback at
+O(n/CB) words).
 """
 
 from __future__ import annotations

@@ -102,7 +102,9 @@ def test_pallas_banded_parity_interpret():
     ]
     args, B0 = pack_batch_staggered(pairs, lane_multiple=128)
     a0, a1, pb0, pb1, n, m = args
-    for sw in (4, 8):
+    # 4/8: unrolled word loop; 72: the grouped large-band word loop.
+    for sw in (4, 8, 72):
+        sw = min(sw, pb0.shape[0] // 8 * 8) if sw > 64 else sw
         ref = np.asarray(banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw))
         got = np.asarray(
             banded_cost_tpu(
@@ -110,7 +112,7 @@ def test_pallas_banded_parity_interpret():
                 band_words=sw, pairs_per_program=128, interpret=True,
             )
         )
-        assert (ref == got).all()
+        assert (ref == got).all(), sw
 
 
 def test_batch_align_fill_native_trace():
