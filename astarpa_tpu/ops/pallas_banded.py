@@ -74,6 +74,7 @@ def _banded_kernel(
 
     n = n_ref[0]
     m = m_ref[0]
+    nmin = jnp.min(n)
     pc = lambda x: jax.lax.population_count(x).astype(jnp.int32)
 
     def col(t, carry):
@@ -133,8 +134,18 @@ def _banded_kernel(
                 hp, hm = hp_next, hm_next
             vp2 = jnp.stack(new_vp)
             vm2 = jnp.stack(new_vm)
-            vp_ref[:] = jnp.where(active[None], vp2, vp)
-            vm_ref[:] = jnp.where(active[None], vm2, vm)
+
+            # Fast path: before the shortest pair ends, every lane is
+            # active — skip the two (SW, P8, 128) masked selects.
+            @pl.when(i < nmin)
+            def _store_all():
+                vp_ref[:] = vp2
+                vm_ref[:] = vm2
+
+            @pl.when(i >= nmin)
+            def _store_masked():
+                vp_ref[:] = jnp.where(active[None], vp2, vp)
+                vm_ref[:] = jnp.where(active[None], vm2, vm)
         else:
             assert SW % 8 == 0, "large bands must be multiples of 8 words"
 
@@ -174,10 +185,11 @@ def _banded_kernel(
             )
         top_val_ref[:] = jnp.where(active, top_val_ref[:] + 1, top_val_ref[:])
 
-        # --- capture per-pair results at their final column.
+        # --- capture per-pair results at their final column (only possible
+        # once the shortest pair can finish).
         done = i == n - 1
 
-        @pl.when(jnp.any(done))
+        @pl.when((i >= nmin - 1) & jnp.any(done))
         def _capture():
             vp = vp_ref[:]
             vm = vm_ref[:]

@@ -28,7 +28,7 @@ import numpy as np
 N = 10_000
 E = 0.05
 BATCH = 4096
-BAND_WORDS = 20
+BAND_WORDS = 24
 K = 8
 
 
