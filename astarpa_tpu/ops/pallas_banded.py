@@ -50,7 +50,7 @@ def _banded_kernel(
     # scalar prefetch
     shift_ref, lo_block_ref,
     # inputs
-    a0_ref, a1_ref, sb0_ref, sb1_ref, n_ref, m_ref,
+    a0_ref, a1_ref, wn0_ref, wn1_ref, sb0_ref, sb1_ref, n_ref, m_ref,
     # outputs
     result_ref,
     # scratch
@@ -64,8 +64,8 @@ def _banded_kernel(
     def _init():
         vp_ref[:] = jnp.full((SW, P8, 128), _ONES, U32)
         vm_ref[:] = jnp.zeros((SW, P8, 128), U32)
-        w0_ref[:] = sb0_ref[0, 0:SW, 0]
-        w1_ref[:] = sb1_ref[0, 0:SW, 0]
+        w0_ref[:] = wn0_ref[:, 0]
+        w1_ref[:] = wn1_ref[:, 0]
         top_val_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         top_rows_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         # Pairs with n == 0 are captured here (cost = m).
@@ -91,7 +91,7 @@ def _banded_kernel(
             top_val_ref[:] = top_val_ref[:] + pc(vp[0]) - pc(vm[0])
             top_rows_ref[:] = top_rows_ref[:] + W
             lo = lo_ref[0]
-            off = lo + SW - lo_block_ref[k]
+            off = lo - lo_block_ref[k]
             vp_ref[:] = jnp.concatenate(
                 [vp[1:], jnp.full((1, P8, 128), _ONES, U32)], 0
             )
@@ -239,16 +239,18 @@ def banded_cost_tpu(
     P8 = PP // 128
 
     if col_block is None:
-        # VMEM bytes: window state 16*SW*PP (4 uint32 arrays) + profile
-        # slabs 16*(SW+~32)*PP (2 arrays, double-buffered); the rest of
-        # ~12MB goes to the double-buffered a-plane blocks (32*CB*PP).
-        budget = 12 * 2**20 - 16 * SW * PP - 16 * (SW + 32) * PP
-        assert budget > 32 * 8 * PP, (
-            f"band_words={SW} too large for pairs_per_program={PP}; reduce PP"
-        )
-        col_block = max(8, min(512, budget // (32 * PP)))
-        if SW > 64:
-            col_block = max(8, col_block // 8 * 8)
+        # Empirically validated VMEM policy (the compiler's effective limit
+        # is ~16MB with internal margins): small bands use the tuned
+        # a-block size; large bands shrink the column block so window
+        # state (16*SW*PP) + initial-window input (8*SW*PP) + a-blocks fit.
+        if SW <= 64:
+            col_block = max(128, min(512, (2**23) // (PP * 16)))
+        else:
+            budget = 10 * 2**20 - 24 * SW * PP
+            assert budget > 32 * 8 * PP, (
+                f"band_words={SW} too large for pairs_per_program={PP}; reduce PP"
+            )
+            col_block = max(8, min(128, budget // (32 * PP)) // 8 * 8)
     CB = min(col_block, max(n_max, 1))
     n_blocks = -(-n_max // CB)
     n_pad = n_blocks * CB
@@ -266,15 +268,23 @@ def banded_cost_tpu(
     lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int32)  # lo before col i
     lo_block = lo[np.arange(n_blocks) * CB]
     shifts_per_block = lo[np.minimum((np.arange(n_blocks) + 1) * CB, n_pad)] - lo_block
-    slab_words = SW + int(shifts_per_block.max(initial=0)) + 1
+    # The full window is only read once (init); per block, only the words
+    # *entering* at shifts stream in — the slabs stay tiny, so VMEM scales
+    # with the band once (state), not twice.
+    slab_words = int(shifts_per_block.max(initial=0)) + 1
+    win_idx = np.minimum(np.arange(SW), S - 1)
+    wn0 = jnp.asarray(pb0)[win_idx].reshape(SW, B)
+    wn1 = jnp.asarray(pb1)[win_idx].reshape(SW, B)
     gather_idx = np.minimum(
-        lo_block[:, None] + np.arange(slab_words)[None, :], S - 1
-    )  # (n_blocks, slab)
+        (lo_block + SW)[:, None] + np.arange(slab_words)[None, :], S - 1
+    )
     sb0 = jnp.asarray(pb0)[gather_idx.reshape(-1)].reshape(n_blocks, slab_words, B)
     sb1 = jnp.asarray(pb1)[gather_idx.reshape(-1)].reshape(n_blocks, slab_words, B)
 
     a0t = a0.reshape(n_pad, B // PP, P8, 128)
     a1t = a1.reshape(n_pad, B // PP, P8, 128)
+    wn0t = wn0.reshape(SW, B // PP, P8, 128)
+    wn1t = wn1.reshape(SW, B // PP, P8, 128)
     sb0t = sb0.reshape(n_blocks, slab_words, B // PP, P8, 128)
     sb1t = sb1.reshape(n_blocks, slab_words, B // PP, P8, 128)
     nt = n.astype(jnp.int32).reshape(B // PP, P8, 128)
@@ -290,6 +300,8 @@ def banded_cost_tpu(
             in_specs=[
                 pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
                 pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
+                pl.BlockSpec((SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)),
+                pl.BlockSpec((SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)),
                 pl.BlockSpec(
                     (1, slab_words, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)
                 ),
@@ -321,13 +333,13 @@ def banded_cost_tpu(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, sb0t, sb1t, nt, mt)
+    )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, wn0t, wn1t, sb0t, sb1t, nt, mt)
     return out.reshape(B)
 
 
 def _banded_fill_kernel(
     shift_ref, lo_block_ref,
-    a0_ref, a1_ref, sb0_ref, sb1_ref, n_ref, m_ref,
+    a0_ref, a1_ref, wn0_ref, wn1_ref, sb0_ref, sb1_ref, n_ref, m_ref,
     result_ref, vpall_ref, vmall_ref,
     vp_ref, vm_ref, w0_ref, w1_ref, top_val_ref, top_rows_ref, res_ref, lo_ref,
     *, SW: int, CB: int,
@@ -342,8 +354,8 @@ def _banded_fill_kernel(
     def _init():
         vp_ref[:] = jnp.full((SW, P8, 128), _ONES, U32)
         vm_ref[:] = jnp.zeros((SW, P8, 128), U32)
-        w0_ref[:] = sb0_ref[0, 0:SW, 0]
-        w1_ref[:] = sb1_ref[0, 0:SW, 0]
+        w0_ref[:] = wn0_ref[:, 0]
+        w1_ref[:] = wn1_ref[:, 0]
         top_val_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         top_rows_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         res_ref[:] = m_ref[0]
@@ -363,7 +375,7 @@ def _banded_fill_kernel(
             top_val_ref[:] = top_val_ref[:] + pc(vp[0]) - pc(vm[0])
             top_rows_ref[:] = top_rows_ref[:] + W
             lo = lo_ref[0]
-            off = lo + SW - lo_block_ref[k]
+            off = lo - lo_block_ref[k]
             vp_ref[:] = jnp.concatenate(
                 [vp[1:], jnp.full((1, P8, 128), _ONES, U32)], 0
             )
@@ -464,15 +476,23 @@ def banded_fill_tpu(
     lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int32)
     lo_block = lo[np.arange(n_blocks) * CB]
     shifts_per_block = lo[np.minimum((np.arange(n_blocks) + 1) * CB, n_pad)] - lo_block
-    slab_words = SW + int(shifts_per_block.max(initial=0)) + 1
+    # The full window is only read once (init); per block, only the words
+    # *entering* at shifts stream in — the slabs stay tiny, so VMEM scales
+    # with the band once (state), not twice.
+    slab_words = int(shifts_per_block.max(initial=0)) + 1
+    win_idx = np.minimum(np.arange(SW), S - 1)
+    wn0 = jnp.asarray(pb0)[win_idx].reshape(SW, B)
+    wn1 = jnp.asarray(pb1)[win_idx].reshape(SW, B)
     gather_idx = np.minimum(
-        lo_block[:, None] + np.arange(slab_words)[None, :], S - 1
+        (lo_block + SW)[:, None] + np.arange(slab_words)[None, :], S - 1
     )
     sb0 = jnp.asarray(pb0)[gather_idx.reshape(-1)].reshape(n_blocks, slab_words, B)
     sb1 = jnp.asarray(pb1)[gather_idx.reshape(-1)].reshape(n_blocks, slab_words, B)
 
     a0t = a0.reshape(n_pad, B // PP, P8, 128)
     a1t = a1.reshape(n_pad, B // PP, P8, 128)
+    wn0t = wn0.reshape(SW, B // PP, P8, 128)
+    wn1t = wn1.reshape(SW, B // PP, P8, 128)
     sb0t = sb0.reshape(n_blocks, slab_words, B // PP, P8, 128)
     sb1t = sb1.reshape(n_blocks, slab_words, B // PP, P8, 128)
     nt = n.astype(jnp.int32).reshape(B // PP, P8, 128)
@@ -488,6 +508,8 @@ def banded_fill_tpu(
             in_specs=[
                 pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
                 pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
+                pl.BlockSpec((SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)),
+                pl.BlockSpec((SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)),
                 pl.BlockSpec(
                     (1, slab_words, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)
                 ),
@@ -526,7 +548,7 @@ def banded_fill_tpu(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, sb0t, sb1t, nt, mt)
+    )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, wn0t, wn1t, sb0t, sb1t, nt, mt)
     return (
         res.reshape(B),
         vpall.reshape(n_pad, SW, B)[:n_max],
@@ -536,7 +558,7 @@ def banded_fill_tpu(
 
 def _banded_ck_kernel(
     shift_ref, lo_block_ref,
-    a0_ref, a1_ref, sb0_ref, sb1_ref, n_ref, m_ref,
+    a0_ref, a1_ref, wn0_ref, wn1_ref, sb0_ref, sb1_ref, n_ref, m_ref,
     result_ref, ckvp_ref, ckvm_ref,
     vp_ref, vm_ref, w0_ref, w1_ref, top_val_ref, top_rows_ref, res_ref, lo_ref,
     *, SW: int, CB: int,
@@ -553,8 +575,8 @@ def _banded_ck_kernel(
     def _init():
         vp_ref[:] = jnp.full((SW, P8, 128), _ONES, U32)
         vm_ref[:] = jnp.zeros((SW, P8, 128), U32)
-        w0_ref[:] = sb0_ref[0, 0:SW, 0]
-        w1_ref[:] = sb1_ref[0, 0:SW, 0]
+        w0_ref[:] = wn0_ref[:, 0]
+        w1_ref[:] = wn1_ref[:, 0]
         top_val_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         top_rows_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         res_ref[:] = m_ref[0]
@@ -578,7 +600,7 @@ def _banded_ck_kernel(
             top_val_ref[:] = top_val_ref[:] + pc(vp[0]) - pc(vm[0])
             top_rows_ref[:] = top_rows_ref[:] + W
             lo = lo_ref[0]
-            off = lo + SW - lo_block_ref[k]
+            off = lo - lo_block_ref[k]
             vp_ref[:] = jnp.concatenate(
                 [vp[1:], jnp.full((1, P8, 128), _ONES, U32)], 0
             )
@@ -723,15 +745,23 @@ def banded_ck_tpu(
     lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int32)
     lo_block = lo[np.arange(n_blocks) * CB]
     shifts_per_block = lo[np.minimum((np.arange(n_blocks) + 1) * CB, n_pad)] - lo_block
-    slab_words = SW + int(shifts_per_block.max(initial=0)) + 1
+    # The full window is only read once (init); per block, only the words
+    # *entering* at shifts stream in — the slabs stay tiny, so VMEM scales
+    # with the band once (state), not twice.
+    slab_words = int(shifts_per_block.max(initial=0)) + 1
+    win_idx = np.minimum(np.arange(SW), S - 1)
+    wn0 = jnp.asarray(pb0)[win_idx].reshape(SW, B)
+    wn1 = jnp.asarray(pb1)[win_idx].reshape(SW, B)
     gather_idx = np.minimum(
-        lo_block[:, None] + np.arange(slab_words)[None, :], S - 1
+        (lo_block + SW)[:, None] + np.arange(slab_words)[None, :], S - 1
     )
     sb0 = jnp.asarray(pb0)[gather_idx.reshape(-1)].reshape(n_blocks, slab_words, B)
     sb1 = jnp.asarray(pb1)[gather_idx.reshape(-1)].reshape(n_blocks, slab_words, B)
 
     a0t = a0.reshape(n_pad, B // PP, P8, 128)
     a1t = a1.reshape(n_pad, B // PP, P8, 128)
+    wn0t = wn0.reshape(SW, B // PP, P8, 128)
+    wn1t = wn1.reshape(SW, B // PP, P8, 128)
     sb0t = sb0.reshape(n_blocks, slab_words, B // PP, P8, 128)
     sb1t = sb1.reshape(n_blocks, slab_words, B // PP, P8, 128)
     nt = n.astype(jnp.int32).reshape(B // PP, P8, 128)
@@ -747,6 +777,8 @@ def banded_ck_tpu(
             in_specs=[
                 pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
                 pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
+                pl.BlockSpec((SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)),
+                pl.BlockSpec((SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)),
                 pl.BlockSpec(
                     (1, slab_words, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)
                 ),
@@ -781,7 +813,7 @@ def banded_ck_tpu(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, sb0t, sb1t, nt, mt)
+    )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, wn0t, wn1t, sb0t, sb1t, nt, mt)
     return (
         res.reshape(B),
         ckvp.reshape(n_blocks, SW, B),

@@ -127,7 +127,7 @@ class BatchAligner:
         # Largest pairs-per-program whose window state + slabs fit VMEM.
         pp = 0
         for cand in (4096, 2048, 1024, 512, 256, 128):
-            if cand <= B and B % cand == 0 and 32 * (2 * sw + 32) * cand // 2 < 9 * 2**20:
+            if cand <= B and B % cand == 0 and 24 * sw * cand < 11 * 2**20:
                 pp = cand
                 break
         if self.mesh is None and jax.default_backend() == "tpu" and pp >= 128:
