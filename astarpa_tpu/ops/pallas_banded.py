@@ -62,10 +62,11 @@ def _banded_kernel(
 
     @pl.when(k == 0)
     def _init():
-        vp_ref[:] = jnp.full((SW, P8, 128), _ONES, U32)
-        vm_ref[:] = jnp.zeros((SW, P8, 128), U32)
-        w0_ref[:] = wn0_ref[:, 0]
-        w1_ref[:] = wn1_ref[:, 0]
+        # Scratch may be padded by one group past SW (grouped shifts).
+        vp_ref[:] = jnp.full(vp_ref.shape, _ONES, U32)
+        vm_ref[:] = jnp.zeros(vm_ref.shape, U32)
+        w0_ref[0:SW] = wn0_ref[:, 0]
+        w1_ref[0:SW] = wn1_ref[:, 0]
         top_val_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         top_rows_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         # Pairs with n == 0 are captured here (cost = m).
@@ -84,20 +85,47 @@ def _banded_kernel(
         # Mosaic cannot select whole vectors on a scalar predicate).  The
         # entering word comes from this block's pre-gathered profile slab
         # at offset (global word index) - (slab base).
-        @pl.when(shift_ref[i] > 0)
+        @pl.when((shift_ref[i >> 5] >> (i & 31)) & 1 > 0)
         def _shift():
-            vp = vp_ref[:]
-            vm = vm_ref[:]
-            top_val_ref[:] = top_val_ref[:] + pc(vp[0]) - pc(vm[0])
+            top_val_ref[:] = (
+                top_val_ref[:] + pc(vp_ref[0]) - pc(vm_ref[0])
+            )
             top_rows_ref[:] = top_rows_ref[:] + W
             lo = lo_ref[0]
             off = lo - lo_block_ref[k]
-            vp_ref[:] = jnp.concatenate(
-                [vp[1:], jnp.full((1, P8, 128), _ONES, U32)], 0
-            )
-            vm_ref[:] = jnp.concatenate([vm[1:], jnp.zeros((1, P8, 128), U32)], 0)
-            w0_ref[:] = jnp.concatenate([w0_ref[1:], sb0_ref[0, pl.ds(off, 1), 0]], 0)
-            w1_ref[:] = jnp.concatenate([w1_ref[1:], sb1_ref[0, pl.ds(off, 1), 0]], 0)
+            if SW <= 64:
+                vp = vp_ref[:]
+                vm = vm_ref[:]
+                vp_ref[:] = jnp.concatenate(
+                    [vp[1:], jnp.full((1, P8, 128), _ONES, U32)], 0
+                )
+                vm_ref[:] = jnp.concatenate(
+                    [vm[1:], jnp.zeros((1, P8, 128), U32)], 0
+                )
+                w0_ref[:] = jnp.concatenate(
+                    [w0_ref[1:], sb0_ref[0, pl.ds(off, 1), 0]], 0
+                )
+                w1_ref[:] = jnp.concatenate(
+                    [w1_ref[1:], sb1_ref[0, pl.ds(off, 1), 0]], 0
+                )
+            else:
+                # Grouped shift: ascending 8-word copies never overlap their
+                # later reads, and scratch is padded by one group so the
+                # +1-offset read stays in bounds; keeps temporaries one
+                # tile-group, not O(SW) (the VMEM stack limit).
+                def roll(g, _):
+                    base = g * 8
+                    vp_ref[pl.ds(base, 8)] = vp_ref[pl.ds(base + 1, 8)]
+                    vm_ref[pl.ds(base, 8)] = vm_ref[pl.ds(base + 1, 8)]
+                    w0_ref[pl.ds(base, 8)] = w0_ref[pl.ds(base + 1, 8)]
+                    w1_ref[pl.ds(base, 8)] = w1_ref[pl.ds(base + 1, 8)]
+                    return 0
+
+                jax.lax.fori_loop(0, SW // 8, roll, 0)
+                vp_ref[SW - 1] = jnp.full((P8, 128), _ONES, U32)
+                vm_ref[SW - 1] = jnp.zeros((P8, 128), U32)
+                w0_ref[SW - 1] = sb0_ref[0, off, 0]
+                w1_ref[SW - 1] = sb1_ref[0, off, 0]
             lo_ref[0] = lo + 1
 
 
@@ -191,17 +219,38 @@ def _banded_kernel(
 
         @pl.when((i >= nmin - 1) & jnp.any(done))
         def _capture():
-            vp = vp_ref[:]
-            vm = vm_ref[:]
             rows = m - top_rows_ref[:]
-            base = jax.lax.broadcasted_iota(jnp.int32, (SW, P8, 128), 0) * W
-            full = jnp.clip(rows[None] - base, 0, W)
-            mask = jnp.where(
-                full >= W,
-                U32(_ONES),
-                (U32(1) << full.astype(jnp.uint32)) - U32(1),
-            )
-            val = jnp.sum(pc(vp & mask) - pc(vm & mask), axis=0)
+            if SW <= 64:
+                vp = vp_ref[0:SW]
+                vm = vm_ref[0:SW]
+                base = jax.lax.broadcasted_iota(jnp.int32, (SW, P8, 128), 0) * W
+                full = jnp.clip(rows[None] - base, 0, W)
+                mask = jnp.where(
+                    full >= W,
+                    U32(_ONES),
+                    (U32(1) << full.astype(jnp.uint32)) - U32(1),
+                )
+                val = jnp.sum(pc(vp & mask) - pc(vm & mask), axis=0)
+            else:
+                # Grouped masked popcount accumulation (see _shift).
+                def acc(g, val):
+                    gb = g * 8
+                    vp = vp_ref[pl.ds(gb, 8)]
+                    vm = vm_ref[pl.ds(gb, 8)]
+                    base = (
+                        jax.lax.broadcasted_iota(jnp.int32, (8, P8, 128), 0) + gb
+                    ) * W
+                    full = jnp.clip(rows[None] - base, 0, W)
+                    mask = jnp.where(
+                        full >= W,
+                        U32(_ONES),
+                        (U32(1) << full.astype(jnp.uint32)) - U32(1),
+                    )
+                    return val + jnp.sum(pc(vp & mask) - pc(vm & mask), axis=0)
+
+                val = jax.lax.fori_loop(
+                    0, SW // 8, acc, jnp.zeros((P8, 128), jnp.int32)
+                )
             got = top_val_ref[:] + val
             got = jnp.where(rows <= SW * W, got, INF32)
             res_ref[:] = jnp.where(done, got, res_ref[:])
@@ -261,6 +310,10 @@ def banded_cost_tpu(
 
     shift = shift_at_array(n_max, S, SW)
     shift = np.concatenate([shift, np.zeros(n_pad - n_max, np.int32)]).astype(np.int32)
+    packed_len = (n_pad + 31) // 32
+    shift_bits = np.zeros(packed_len, np.uint32)
+    idx = np.nonzero(shift)[0]
+    np.bitwise_or.at(shift_bits, idx >> 5, np.uint32(1) << (idx & 31).astype(np.uint32))
 
     # Per column-block profile slabs: only the words the window can touch
     # during that block live in VMEM (keeps VMEM O(band), not O(m) — this
@@ -290,6 +343,9 @@ def banded_cost_tpu(
     nt = n.astype(jnp.int32).reshape(B // PP, P8, 128)
     mt = m.astype(jnp.int32).reshape(B // PP, P8, 128)
 
+    # Scratch padded by one group so the grouped shift's +1-offset reads
+    # stay in bounds (large bands only).
+    SWP = SW + 8 if SW > 64 else SW
     kernel = functools.partial(_banded_kernel, SW=SW, CB=CB)
 
     out = pl.pallas_call(
@@ -313,10 +369,10 @@ def banded_cost_tpu(
             ],
             out_specs=pl.BlockSpec((1, P8, 128), lambda p, k, *s: (p, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((SW, P8, 128), jnp.uint32),
-                pltpu.VMEM((SW, P8, 128), jnp.uint32),
-                pltpu.VMEM((SW, P8, 128), jnp.uint32),
-                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((SWP, P8, 128), jnp.uint32),
+                pltpu.VMEM((SWP, P8, 128), jnp.uint32),
+                pltpu.VMEM((SWP, P8, 128), jnp.uint32),
+                pltpu.VMEM((SWP, P8, 128), jnp.uint32),
                 pltpu.VMEM((P8, 128), jnp.int32),
                 pltpu.VMEM((P8, 128), jnp.int32),
                 pltpu.VMEM((P8, 128), jnp.int32),
@@ -333,7 +389,7 @@ def banded_cost_tpu(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, wn0t, wn1t, sb0t, sb1t, nt, mt)
+    )(jnp.asarray(shift_bits), jnp.asarray(lo_block), a0t, a1t, wn0t, wn1t, sb0t, sb1t, nt, mt)
     return out.reshape(B)
 
 
@@ -368,7 +424,7 @@ def _banded_fill_kernel(
     def col(t, carry):
         i = k * CB + t
 
-        @pl.when(shift_ref[i] > 0)
+        @pl.when((shift_ref[i >> 5] >> (i & 31)) & 1 > 0)
         def _shift():
             vp = vp_ref[:]
             vm = vm_ref[:]
@@ -473,6 +529,10 @@ def banded_fill_tpu(
 
     shift = shift_at_array(n_max, S, SW)
     shift = np.concatenate([shift, np.zeros(n_pad - n_max, np.int32)]).astype(np.int32)
+    packed_len = (n_pad + 31) // 32
+    shift_bits = np.zeros(packed_len, np.uint32)
+    idx = np.nonzero(shift)[0]
+    np.bitwise_or.at(shift_bits, idx >> 5, np.uint32(1) << (idx & 31).astype(np.uint32))
     lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int32)
     lo_block = lo[np.arange(n_blocks) * CB]
     shifts_per_block = lo[np.minimum((np.arange(n_blocks) + 1) * CB, n_pad)] - lo_block
@@ -548,7 +608,7 @@ def banded_fill_tpu(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, wn0t, wn1t, sb0t, sb1t, nt, mt)
+    )(jnp.asarray(shift_bits), jnp.asarray(lo_block), a0t, a1t, wn0t, wn1t, sb0t, sb1t, nt, mt)
     return (
         res.reshape(B),
         vpall.reshape(n_pad, SW, B)[:n_max],
@@ -593,7 +653,7 @@ def _banded_ck_kernel(
     def col(t, carry):
         i = k * CB + t
 
-        @pl.when(shift_ref[i] > 0)
+        @pl.when((shift_ref[i >> 5] >> (i & 31)) & 1 > 0)
         def _shift():
             vp = vp_ref[:]
             vm = vm_ref[:]
@@ -742,6 +802,10 @@ def banded_ck_tpu(
 
     shift = shift_at_array(n_max, S, SW)
     shift = np.concatenate([shift, np.zeros(n_pad - n_max, np.int32)]).astype(np.int32)
+    packed_len = (n_pad + 31) // 32
+    shift_bits = np.zeros(packed_len, np.uint32)
+    idx = np.nonzero(shift)[0]
+    np.bitwise_or.at(shift_bits, idx >> 5, np.uint32(1) << (idx & 31).astype(np.uint32))
     lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int32)
     lo_block = lo[np.arange(n_blocks) * CB]
     shifts_per_block = lo[np.minimum((np.arange(n_blocks) + 1) * CB, n_pad)] - lo_block
@@ -813,7 +877,7 @@ def banded_ck_tpu(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(shift), jnp.asarray(lo_block), a0t, a1t, wn0t, wn1t, sb0t, sb1t, nt, mt)
+    )(jnp.asarray(shift_bits), jnp.asarray(lo_block), a0t, a1t, wn0t, wn1t, sb0t, sb1t, nt, mt)
     return (
         res.reshape(B),
         ckvp.reshape(n_blocks, SW, B),
