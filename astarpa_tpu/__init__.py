@@ -49,4 +49,10 @@ def __getattr__(name):
         from .parallel.runner import BatchAligner
 
         return BatchAligner
+    if name == "AstarPa":
+        from .astar import AstarPa
+
+        return AstarPa
+    # NOTE: the semi-global search lives in the `astarpa_tpu.search`
+    # module: `from astarpa_tpu.search import search`.
     raise AttributeError(name)
