@@ -55,7 +55,8 @@ def _banded_kernel(
     result_ref,
     # scratch
     vp_ref, vm_ref, w0_ref, w1_ref, top_val_ref, top_rows_ref, res_ref, lo_ref,
-    *, SW: int, CB: int,
+    dma_sem,
+    *, SW: int, CB: int, win_any: bool,
 ):
     k = pl.program_id(1)
     P8 = n_ref.shape[1]
@@ -65,8 +66,23 @@ def _banded_kernel(
         # Scratch may be padded by one group past SW (grouped shifts).
         vp_ref[:] = jnp.full(vp_ref.shape, _ONES, U32)
         vm_ref[:] = jnp.zeros(vm_ref.shape, U32)
-        w0_ref[0:SW] = wn0_ref[:, 0]
-        w1_ref[0:SW] = wn1_ref[:, 0]
+        if win_any:
+            # Large bands: the initial window lives in HBM (a VMEM input
+            # would double the band's VMEM footprint); one DMA per program.
+            p = pl.program_id(0)
+            c0 = pltpu.make_async_copy(
+                wn0_ref.at[:, p], w0_ref.at[0:SW], dma_sem
+            )
+            c0.start()
+            c0.wait()
+            c1 = pltpu.make_async_copy(
+                wn1_ref.at[:, p], w1_ref.at[0:SW], dma_sem
+            )
+            c1.start()
+            c1.wait()
+        else:
+            w0_ref[0:SW] = wn0_ref[:, 0]
+            w1_ref[0:SW] = wn1_ref[:, 0]
         top_val_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         top_rows_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         # Pairs with n == 0 are captured here (cost = m).
@@ -346,7 +362,8 @@ def banded_cost_tpu(
     # Scratch padded by one group so the grouped shift's +1-offset reads
     # stay in bounds (large bands only).
     SWP = SW + 8 if SW > 64 else SW
-    kernel = functools.partial(_banded_kernel, SW=SW, CB=CB)
+    win_any = SW > 256 and not interpret
+    kernel = functools.partial(_banded_kernel, SW=SW, CB=CB, win_any=win_any)
 
     out = pl.pallas_call(
         kernel,
@@ -356,8 +373,20 @@ def banded_cost_tpu(
             in_specs=[
                 pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
                 pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
-                pl.BlockSpec((SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)),
-                pl.BlockSpec((SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)),
+                (
+                    pl.BlockSpec(memory_space=pltpu.ANY)
+                    if win_any
+                    else pl.BlockSpec(
+                        (SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)
+                    )
+                ),
+                (
+                    pl.BlockSpec(memory_space=pltpu.ANY)
+                    if win_any
+                    else pl.BlockSpec(
+                        (SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)
+                    )
+                ),
                 pl.BlockSpec(
                     (1, slab_words, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)
                 ),
@@ -377,6 +406,7 @@ def banded_cost_tpu(
                 pltpu.VMEM((P8, 128), jnp.int32),
                 pltpu.VMEM((P8, 128), jnp.int32),
                 pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B // PP, P8, 128), jnp.int32),

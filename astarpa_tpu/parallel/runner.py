@@ -124,10 +124,13 @@ class BatchAligner:
         if sw > 64:
             # Large bands use the grouped word loop: multiples of 8 words.
             sw = min(-(-sw // 8) * 8, S)
-        # Largest pairs-per-program whose window state + slabs fit VMEM.
+        # Largest pairs-per-program whose window state fits VMEM (above
+        # 256 words the initial window lives in HBM, so only the 4 state
+        # arrays scale with the band).
+        per_word = 17 if sw > 256 else 24
         pp = 0
         for cand in (4096, 2048, 1024, 512, 256, 128):
-            if cand <= B and B % cand == 0 and 24 * sw * cand < 11 * 2**20:
+            if cand <= B and B % cand == 0 and per_word * sw * cand < 11 * 2**20:
                 pp = cand
                 break
         if self.mesh is None and jax.default_backend() == "tpu" and pp >= 128:
