@@ -231,6 +231,18 @@ class BatchAligner:
         while pp >= 128 and B % pp:
             pp //= 2
         shift = banded.shift_at_array(n_max, S, sw)
+        if sw > 256:
+            # Large bands: the checkpoint kernel's whole-window temporaries
+            # do not fit VMEM yet (round-2: grouped ck kernel); the native
+            # A* runtime traces these pairs exactly instead.
+            from ..native import astarpa_native
+
+            for i in idxs:
+                a, b = pairs[i]
+                cost, cigar = astarpa_native(a, b)
+                assert cost == costs[i], (cost, costs[i])
+                results[i] = (cost, cigar)
+            return
         if jax.default_backend() == "tpu" and pp >= 128:
             # Checkpoint path: O(n/CB) readback; native C++ recomputes the
             # stripes (the sparse-blocks trace, `trace.rs:71-125` role).
