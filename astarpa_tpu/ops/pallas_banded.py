@@ -651,7 +651,8 @@ def _banded_ck_kernel(
     a0_ref, a1_ref, wn0_ref, wn1_ref, sb0_ref, sb1_ref, n_ref, m_ref,
     result_ref, ckvp_ref, ckvm_ref,
     vp_ref, vm_ref, w0_ref, w1_ref, top_val_ref, top_rows_ref, res_ref, lo_ref,
-    *, SW: int, CB: int,
+    dma_sem,
+    *, SW: int, CB: int, win_any: bool,
 ):
     """Checkpoint variant of :func:`_banded_kernel`: additionally writes the
     window planes at the *start* of every column block (state after column
@@ -663,18 +664,41 @@ def _banded_ck_kernel(
 
     @pl.when(k == 0)
     def _init():
-        vp_ref[:] = jnp.full((SW, P8, 128), _ONES, U32)
-        vm_ref[:] = jnp.zeros((SW, P8, 128), U32)
-        w0_ref[:] = wn0_ref[:, 0]
-        w1_ref[:] = wn1_ref[:, 0]
+        vp_ref[:] = jnp.full(vp_ref.shape, _ONES, U32)
+        vm_ref[:] = jnp.zeros(vm_ref.shape, U32)
+        if win_any:
+            p = pl.program_id(0)
+            c0 = pltpu.make_async_copy(
+                wn0_ref.at[:, p], w0_ref.at[0:SW], dma_sem
+            )
+            c0.start()
+            c0.wait()
+            c1 = pltpu.make_async_copy(
+                wn1_ref.at[:, p], w1_ref.at[0:SW], dma_sem
+            )
+            c1.start()
+            c1.wait()
+        else:
+            w0_ref[0:SW] = wn0_ref[:, 0]
+            w1_ref[0:SW] = wn1_ref[:, 0]
         top_val_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         top_rows_ref[:] = jnp.zeros((P8, 128), jnp.int32)
         res_ref[:] = m_ref[0]
         lo_ref[0] = 0
 
-    # Checkpoint: state entering this block.
-    ckvp_ref[0] = vp_ref[:][:, None]
-    ckvm_ref[0] = vm_ref[:][:, None]
+    # Checkpoint: state entering this block (grouped for large bands to
+    # bound temporaries).
+    if SW <= 64:
+        ckvp_ref[0] = vp_ref[0:SW][:, None]
+        ckvm_ref[0] = vm_ref[0:SW][:, None]
+    else:
+        def _ckcopy(g, _):
+            base = g * 8
+            ckvp_ref[0, pl.ds(base, 8)] = vp_ref[pl.ds(base, 8)][:, None]
+            ckvm_ref[0, pl.ds(base, 8)] = vm_ref[pl.ds(base, 8)][:, None]
+            return 0
+
+        jax.lax.fori_loop(0, SW // 8, _ckcopy, 0)
 
     n = n_ref[0]
     m = m_ref[0]
@@ -685,18 +709,41 @@ def _banded_ck_kernel(
 
         @pl.when((shift_ref[i >> 5] >> (i & 31)) & 1 > 0)
         def _shift():
-            vp = vp_ref[:]
-            vm = vm_ref[:]
-            top_val_ref[:] = top_val_ref[:] + pc(vp[0]) - pc(vm[0])
+            top_val_ref[:] = (
+                top_val_ref[:] + pc(vp_ref[0]) - pc(vm_ref[0])
+            )
             top_rows_ref[:] = top_rows_ref[:] + W
             lo = lo_ref[0]
             off = lo - lo_block_ref[k]
-            vp_ref[:] = jnp.concatenate(
-                [vp[1:], jnp.full((1, P8, 128), _ONES, U32)], 0
-            )
-            vm_ref[:] = jnp.concatenate([vm[1:], jnp.zeros((1, P8, 128), U32)], 0)
-            w0_ref[:] = jnp.concatenate([w0_ref[1:], sb0_ref[0, pl.ds(off, 1), 0]], 0)
-            w1_ref[:] = jnp.concatenate([w1_ref[1:], sb1_ref[0, pl.ds(off, 1), 0]], 0)
+            if SW <= 64:
+                vp = vp_ref[:]
+                vm = vm_ref[:]
+                vp_ref[:] = jnp.concatenate(
+                    [vp[1:], jnp.full((1, P8, 128), _ONES, U32)], 0
+                )
+                vm_ref[:] = jnp.concatenate(
+                    [vm[1:], jnp.zeros((1, P8, 128), U32)], 0
+                )
+                w0_ref[:] = jnp.concatenate(
+                    [w0_ref[1:], sb0_ref[0, pl.ds(off, 1), 0]], 0
+                )
+                w1_ref[:] = jnp.concatenate(
+                    [w1_ref[1:], sb1_ref[0, pl.ds(off, 1), 0]], 0
+                )
+            else:
+                def roll(g, _):
+                    base = g * 8
+                    vp_ref[pl.ds(base, 8)] = vp_ref[pl.ds(base + 1, 8)]
+                    vm_ref[pl.ds(base, 8)] = vm_ref[pl.ds(base + 1, 8)]
+                    w0_ref[pl.ds(base, 8)] = w0_ref[pl.ds(base + 1, 8)]
+                    w1_ref[pl.ds(base, 8)] = w1_ref[pl.ds(base + 1, 8)]
+                    return 0
+
+                jax.lax.fori_loop(0, SW // 8, roll, 0)
+                vp_ref[SW - 1] = jnp.full((P8, 128), _ONES, U32)
+                vm_ref[SW - 1] = jnp.zeros((P8, 128), U32)
+                w0_ref[SW - 1] = sb0_ref[0, off, 0]
+                w1_ref[SW - 1] = sb1_ref[0, off, 0]
             lo_ref[0] = lo + 1
 
 
@@ -778,17 +825,37 @@ def _banded_ck_kernel(
 
         @pl.when(jnp.any(done))
         def _capture():
-            vp = vp_ref[:]
-            vm = vm_ref[:]
             rows = m - top_rows_ref[:]
-            base = jax.lax.broadcasted_iota(jnp.int32, (SW, P8, 128), 0) * W
-            full = jnp.clip(rows[None] - base, 0, W)
-            mask = jnp.where(
-                full >= W,
-                U32(_ONES),
-                (U32(1) << full.astype(jnp.uint32)) - U32(1),
-            )
-            val = jnp.sum(pc(vp & mask) - pc(vm & mask), axis=0)
+            if SW <= 64:
+                vp = vp_ref[0:SW]
+                vm = vm_ref[0:SW]
+                base = jax.lax.broadcasted_iota(jnp.int32, (SW, P8, 128), 0) * W
+                full = jnp.clip(rows[None] - base, 0, W)
+                mask = jnp.where(
+                    full >= W,
+                    U32(_ONES),
+                    (U32(1) << full.astype(jnp.uint32)) - U32(1),
+                )
+                val = jnp.sum(pc(vp & mask) - pc(vm & mask), axis=0)
+            else:
+                def acc(g, val):
+                    gb = g * 8
+                    vp = vp_ref[pl.ds(gb, 8)]
+                    vm = vm_ref[pl.ds(gb, 8)]
+                    base = (
+                        jax.lax.broadcasted_iota(jnp.int32, (8, P8, 128), 0) + gb
+                    ) * W
+                    full = jnp.clip(rows[None] - base, 0, W)
+                    mask = jnp.where(
+                        full >= W,
+                        U32(_ONES),
+                        (U32(1) << full.astype(jnp.uint32)) - U32(1),
+                    )
+                    return val + jnp.sum(pc(vp & mask) - pc(vm & mask), axis=0)
+
+                val = jax.lax.fori_loop(
+                    0, SW // 8, acc, jnp.zeros((P8, 128), jnp.int32)
+                )
             got = top_val_ref[:] + val
             got = jnp.where(rows <= SW * W, got, INF32)
             res_ref[:] = jnp.where(done, got, res_ref[:])
@@ -861,7 +928,9 @@ def banded_ck_tpu(
     nt = n.astype(jnp.int32).reshape(B // PP, P8, 128)
     mt = m.astype(jnp.int32).reshape(B // PP, P8, 128)
 
-    kernel = functools.partial(_banded_ck_kernel, SW=SW, CB=CB)
+    SWP = SW + 8 if SW > 64 else SW
+    win_any = SW > 256 and not interpret
+    kernel = functools.partial(_banded_ck_kernel, SW=SW, CB=CB, win_any=win_any)
 
     res, ckvp, ckvm = pl.pallas_call(
         kernel,
@@ -871,8 +940,20 @@ def banded_ck_tpu(
             in_specs=[
                 pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
                 pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
-                pl.BlockSpec((SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)),
-                pl.BlockSpec((SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)),
+                (
+                    pl.BlockSpec(memory_space=pltpu.ANY)
+                    if win_any
+                    else pl.BlockSpec(
+                        (SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)
+                    )
+                ),
+                (
+                    pl.BlockSpec(memory_space=pltpu.ANY)
+                    if win_any
+                    else pl.BlockSpec(
+                        (SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0)
+                    )
+                ),
                 pl.BlockSpec(
                     (1, slab_words, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)
                 ),
@@ -888,14 +969,15 @@ def banded_ck_tpu(
                 pl.BlockSpec((1, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)),
             ),
             scratch_shapes=[
-                pltpu.VMEM((SW, P8, 128), jnp.uint32),
-                pltpu.VMEM((SW, P8, 128), jnp.uint32),
-                pltpu.VMEM((SW, P8, 128), jnp.uint32),
-                pltpu.VMEM((SW, P8, 128), jnp.uint32),
+                pltpu.VMEM((SWP, P8, 128), jnp.uint32),
+                pltpu.VMEM((SWP, P8, 128), jnp.uint32),
+                pltpu.VMEM((SWP, P8, 128), jnp.uint32),
+                pltpu.VMEM((SWP, P8, 128), jnp.uint32),
                 pltpu.VMEM((P8, 128), jnp.int32),
                 pltpu.VMEM((P8, 128), jnp.int32),
                 pltpu.VMEM((P8, 128), jnp.int32),
                 pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=(

@@ -227,28 +227,23 @@ class BatchAligner:
         import jax
 
         B = a0.shape[1]
-        pp = min(1024, B)
-        while pp >= 128 and B % pp:
-            pp //= 2
+        if sw > 64:
+            sw = min(-(-sw // 8) * 8, S)
         shift = banded.shift_at_array(n_max, S, sw)
-        if sw > 256:
-            # Large bands: the checkpoint kernel's whole-window temporaries
-            # do not fit VMEM yet (round-2: grouped ck kernel); the native
-            # A* runtime traces these pairs exactly instead.
-            from ..native import astarpa_native
-
-            for i in idxs:
-                a, b = pairs[i]
-                cost, cigar = astarpa_native(a, b)
-                assert cost == costs[i], (cost, costs[i])
-                results[i] = (cost, cigar)
-            return
+        per_word = 17 if sw > 256 else 24
+        pp = 0
+        for cand in (1024, 512, 256, 128):
+            if cand <= B and B % cand == 0 and per_word * sw * cand < 11 * 2**20:
+                pp = cand
+                break
         if jax.default_backend() == "tpu" and pp >= 128:
             # Checkpoint path: O(n/CB) readback; native C++ recomputes the
             # stripes (the sparse-blocks trace, `trace.rs:71-125` role).
             from ..ops.pallas_banded import banded_ck_tpu
 
-            CB = min(128, max(n_max, 1))
+            # Checkpoint interval scales with the band so readback stays
+            # ~O(n) words per pair regardless of band height.
+            CB = min(max(128, sw), max(n_max, 1))
             got, ckvp, ckvm = banded_ck_tpu(
                 a0, a1, pb0, pb1, n, m,
                 band_words=sw, col_block=CB, pairs_per_program=pp,
@@ -260,6 +255,17 @@ class BatchAligner:
                 cost, cigar = native.trace_banded_ck(
                     a, b, S, ckvp[:, :, slot], ckvm[:, :, slot], shift, sw, CB
                 )
+                assert cost == costs[i], (cost, costs[i])
+                results[i] = (cost, cigar)
+            return
+        if sw > 64 and native.available():
+            # Bands too large for the jnp fill's memory: exact per-pair
+            # traceback through the native A* runtime instead.
+            from ..native import astarpa_native
+
+            for i in idxs:
+                a, b = pairs[i]
+                cost, cigar = astarpa_native(a, b)
                 assert cost == costs[i], (cost, costs[i])
                 results[i] = (cost, cigar)
             return
