@@ -80,10 +80,10 @@ class MultiHostRunner:
             for lo in range(0, len(local), self.batch_size):
                 chunk = local[lo : lo + self.batch_size]
                 if with_cigars:
-                    for cost, cigar in self.aligner.align(chunk):
+                    results, cstats = self.aligner.align_with_stats(chunk)
+                    for cost, cigar in results:
                         if out:
                             out.write(f"{cost},{cigar.to_string()}\n")
-                    costs, cstats = None, self.aligner.cost_with_stats(chunk)[1]
                 else:
                     costs, cstats = self.aligner.cost_with_stats(chunk)
                     if out:
@@ -110,11 +110,18 @@ class MultiHostRunner:
         )
 
 
+_LIMBS = 4  # 4 x 16-bit limbs cover counters up to 2^64
+
+
 def _merge_counts(*vals: int) -> tuple[int, ...]:
     """Global sum of per-host counters: one all-reduce over a mesh spanning
-    all global devices (rides DCN across hosts, ICI within).  Each local
-    device contributes the host value / local_device_count so every host is
-    counted exactly once."""
+    all global devices (rides DCN across hosts, ICI within).
+
+    Exact for 64-bit counters: each value is split into 16-bit limbs summed
+    in int32 (limb sums stay < 2^31 for up to 2^15 hosts), and only the
+    first local device of each host contributes (the rest send zeros), so
+    no division/rounding is involved anywhere.
+    """
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -122,13 +129,26 @@ def _merge_counts(*vals: int) -> tuple[int, ...]:
     devs = np.array(jax.devices())
     mesh = Mesh(devs, axis_names=("hosts",))
     ld = jax.local_device_count()
-    local = np.tile(np.asarray(vals, np.float64) / ld, (ld, 1)).astype(np.float32)
+    limbs = np.zeros((ld, len(vals), _LIMBS), np.int32)
+    for c, v in enumerate(vals):
+        v = int(v)
+        assert 0 <= v < 1 << (16 * _LIMBS)
+        for l in range(_LIMBS):
+            limbs[0, c, l] = (v >> (16 * l)) & 0xFFFF
     sharding = NamedSharding(mesh, P("hosts"))
     if jax.process_count() == 1:
-        arr = jax.device_put(np.tile(local, (len(devs) // ld, 1)), sharding)
+        # Single process owning every device: still one contribution per
+        # "host" stripe of ld devices.
+        full = np.zeros((len(devs), len(vals), _LIMBS), np.int32)
+        full[::ld] = limbs[0]
+        arr = jax.device_put(full, sharding)
     else:
-        arr = jax.make_array_from_process_local_data(sharding, local)
+        arr = jax.make_array_from_process_local_data(sharding, limbs)
     total = jax.jit(
         lambda x: jnp.sum(x, axis=0), out_shardings=NamedSharding(mesh, P())
     )(arr)
-    return tuple(int(round(float(v))) for v in np.asarray(total))
+    total = np.asarray(total)
+    return tuple(
+        sum(int(total[c, l]) << (16 * l) for l in range(_LIMBS))
+        for c in range(len(vals))
+    )

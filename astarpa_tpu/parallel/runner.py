@@ -84,13 +84,19 @@ class BatchAligner:
 
         band = self.band_words
         pending = idxs
-        for attempt in range(self.max_band_doublings + 1):
+        attempt = 0
+        while True:
             bucket_pairs = [pairs[i] for i in pending]
             args, B0 = pack_batch_staggered(bucket_pairs, self.lane_multiple)
             args = self._shard(args)
             a0, a1, pb0, pb1, n, m = args
             n_max, S = a0.shape[0], pb0.shape[0]
             sw = min(band, S)
+            # Skewed buckets (m_max > W * n_max) have no valid <=1-word/column
+            # shift schedule; and the last ladder rung clamps to the always-
+            # exact full-height window so the ladder converges for any input.
+            if S > max(n_max, 1) or attempt >= self.max_band_doublings:
+                sw = S
             costs = np.asarray(
                 self._kernel(a0, a1, pb0, pb1, n, m, sw, S)
             )[:B0]
@@ -109,9 +115,10 @@ class BatchAligner:
             pending = [i for i, o in zip(pending, ok) if not o]
             if not pending:
                 return
+            assert sw < S, "full-height window must certify every pair"
             stats.band_retries += 1
             band *= 2
-        raise AssertionError("band doubling did not converge")
+            attempt += 1
 
     def _kernel(self, a0, a1, pb0, pb1, n, m, sw: int, S: int):
         """Dispatch: the Pallas kernel on a single TPU when the bucket fits
@@ -172,16 +179,22 @@ class BatchAligner:
     # -- CIGAR path ------------------------------------------------------------
 
     def align(self, pairs) -> list[tuple[int, Cigar]]:
+        return self.align_with_stats(pairs)[0]
+
+    def align_with_stats(self, pairs) -> tuple[list[tuple[int, Cigar]], BatchStats]:
         """Costs + CIGARs: a fill pass stores the banded window planes on
         device; the native C++ traceback walks them per pair
         (`native/astarpa_native.cpp::trace_banded`).  Falls back to the host
         block aligner when the native toolchain is unavailable.
+
+        One cost pass total: the stats of the internal cost pass are
+        returned, so callers never need a second pass just for stats.
         """
         from .. import native
 
-        costs = self.cost(pairs)
+        costs, stats = self.cost_with_stats(pairs)
         if not native.available():
-            return self._align_host_fallback(pairs, costs)
+            return self._align_host_fallback(pairs, costs), stats
 
         results: list = [None] * len(pairs)
         todo = []
@@ -202,7 +215,7 @@ class BatchAligner:
 
         for bucket in _buckets(pairs, todo):
             self._trace_bucket(pairs, bucket, costs, results)
-        return results
+        return results, stats
 
     def _trace_bucket(self, pairs, idxs, costs, results) -> None:
         from .. import native

@@ -122,11 +122,21 @@ class AlignerParams:
             from .native import astarpa_native
 
             h = self.heuristic
+            # The native runtime implements CSH/GCSH only (use_gap_cost
+            # toggles the GCSH transform); reject configs it would silently
+            # ignore rather than align with the wrong heuristic.
+            if h.heuristic not in (HeuristicType.CSH, HeuristicType.GCSH):
+                raise ValueError(
+                    f"astarpa-native supports csh/gcsh, not {h.heuristic.value}"
+                )
+            dt = self.dt
+            gap = h.heuristic == HeuristicType.GCSH
 
             class _Native:
                 def align(self, a, b):
                     return astarpa_native(
-                        a, b, r=h.r, k=h.k, prune=h.prune, dt=True
+                        a, b, r=h.r, k=h.k, prune=h.prune, dt=dt,
+                        use_gap_cost=gap,
                     )
 
             return _Native()

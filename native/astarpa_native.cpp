@@ -1220,39 +1220,50 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
   }
 
   // Stripe cache: planes, lo, top_val for columns (k*CB, (k+1)*CB].
-  i32 cur_stripe = -1;
-  std::vector<u32> svp, svm;  // (CB+1, SW): index 0 = checkpoint state
-  std::vector<i32> slo, stv;
+  // Two slots: at a block-boundary column the traceback's dval calls
+  // alternate between stripes k-1 and k, so a single-slot cache would
+  // recompute the O(CB*SW) stripe up to twice per step there.
+  struct Stripe {
+    i32 k = -1;
+    std::vector<u32> svp, svm;  // (cols+1, SW): index 0 = checkpoint state
+    std::vector<i32> slo, stv;
+  };
+  Stripe stripes[2];
+  i32 lru = 0;
 
-  auto load_stripe = [&](i32 k) {
-    if (k == cur_stripe) return;
-    cur_stripe = k;
+  auto load_stripe = [&](i32 k) -> Stripe& {
+    for (auto& s : stripes)
+      if (s.k == k) return s;
+    Stripe& s = stripes[lru];
+    lru ^= 1;
+    s.k = k;
     i32 cols = std::min(CB, n - k * CB);
-    svp.assign((size_t)(cols + 1) * SW, 0);
-    svm.assign((size_t)(cols + 1) * SW, 0);
-    slo.assign(cols + 1, 0);
-    stv.assign(cols + 1, 0);
+    s.svp.assign((size_t)(cols + 1) * SW, 0);
+    s.svm.assign((size_t)(cols + 1) * SW, 0);
+    s.slo.assign(cols + 1, 0);
+    s.stv.assign(cols + 1, 0);
     if (k == 0) {
-      for (i32 w = 0; w < SW; w++) svp[w] = 0xFFFFFFFFu;
+      for (i32 w = 0; w < SW; w++) s.svp[w] = 0xFFFFFFFFu;
     } else {
-      memcpy(svp.data(), ck_vp + (size_t)k * SW, SW * 4);
-      memcpy(svm.data(), ck_vm + (size_t)k * SW, SW * 4);
+      memcpy(s.svp.data(), ck_vp + (size_t)k * SW, SW * 4);
+      memcpy(s.svm.data(), ck_vm + (size_t)k * SW, SW * 4);
     }
-    slo[0] = lo_ck[k];
-    stv[0] = tv_ck[k];
-    std::vector<u32> vp(svp.begin(), svp.begin() + SW);
-    std::vector<u32> vm(svm.begin(), svm.begin() + SW);
-    i32 lo = slo[0], tv = stv[0];
+    s.slo[0] = lo_ck[k];
+    s.stv[0] = tv_ck[k];
+    std::vector<u32> vp(s.svp.begin(), s.svp.begin() + SW);
+    std::vector<u32> vm(s.svm.begin(), s.svm.begin() + SW);
+    i32 lo = s.slo[0], tv = s.stv[0];
     for (i32 t = 1; t <= cols; t++) {
       i32 col = k * CB + t;
       tv += rc.maybe_shift(col, lo, vp.data(), vm.data());
       rc.column(col, lo, vp.data(), vm.data());
       tv += 1;
-      memcpy(&svp[(size_t)t * SW], vp.data(), SW * 4);
-      memcpy(&svm[(size_t)t * SW], vm.data(), SW * 4);
-      slo[t] = lo;
-      stv[t] = tv;
+      memcpy(&s.svp[(size_t)t * SW], vp.data(), SW * 4);
+      memcpy(&s.svm[(size_t)t * SW], vm.data(), SW * 4);
+      s.slo[t] = lo;
+      s.stv[t] = tv;
     }
+    return s;
   };
 
   auto state_at = [&](i32 col, const u32** vp, const u32** vm, i32* lo,
@@ -1263,11 +1274,11 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
       k -= 1;
       t = CB;
     }
-    load_stripe(k);
-    *vp = &svp[(size_t)t * SW];
-    *vm = &svm[(size_t)t * SW];
-    *lo = slo[t];
-    *tv = stv[t];
+    Stripe& s = load_stripe(k);
+    *vp = &s.svp[(size_t)t * SW];
+    *vm = &s.svm[(size_t)t * SW];
+    *lo = s.slo[t];
+    *tv = s.stv[t];
   };
 
   auto dval = [&](i32 col, i32 j) -> i32 {

@@ -51,6 +51,9 @@ def variants():
     yield "full-k6", replace(
         full, heuristic=GCSH(MatchConfig(k=6, r=1, local_pruning=4), Pruning(Prune.START)),
     )
+    # Non-sparse h frontier walk (`domain.rs:169-180`): every shipped preset
+    # sets sparse_h=True, so cover the dense branch explicitly.
+    yield "full-dense-h", replace(full, sparse_h=False)
 
 
 @pytest.mark.parametrize("name,params", list(variants()))

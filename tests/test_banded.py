@@ -70,6 +70,30 @@ def test_batch_aligner_mixed_lengths():
     assert list(costs) == [oracle.levenshtein(a, b) for a, b in pairs]
 
 
+def test_batch_aligner_extreme_skew():
+    """m >> 32*n pairs have no valid shift schedule: the runner must route
+    them straight to the always-exact full-height window (advisor finding:
+    the singleton bucket used to re-enter the band ladder and assert)."""
+    pairs = [
+        (b"ACGTACGTACGT", generate.uniform_seeded(1000, 0.0, 5)[0]),
+        (b"A" * 3, b"ACGT" * 300),
+        (b"ACGT" * 300, b"A" * 3),  # skew in n is fine but covers the path
+    ]
+    ba = BatchAligner(band_words=4, lane_multiple=8)
+    costs = ba.cost(pairs)
+    assert list(costs) == [oracle.levenshtein(a, b) for a, b in pairs]
+
+
+def test_batch_aligner_ladder_clamps_to_full_height():
+    """Exhausting max_band_doublings clamps to sw = S (always exact) instead
+    of raising 'band doubling did not converge'."""
+    a, _ = generate.uniform_seeded(600, 0.0, 9)
+    b = a[::-1]
+    ba = BatchAligner(band_words=2, lane_multiple=8, max_band_doublings=1)
+    costs = ba.cost([(a, bytes(b))])
+    assert list(costs) == [oracle.levenshtein(a, bytes(b))]
+
+
 def test_batch_aligner_mesh():
     """Sharded over an 8-device CPU mesh (the multi-host recipe)."""
     import jax

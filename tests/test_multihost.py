@@ -34,6 +34,13 @@ def test_merge_counts_single_process():
     assert _merge_counts(7, 1000) == (7, 1000)
 
 
+def test_merge_counts_exact_beyond_float32():
+    """Counters above the 2^24 float32 integer range merge exactly (16-bit
+    limb decomposition; advisor finding: the old float32 path rounded)."""
+    vals = (2**53 - 111, 2**24 + 1, 41_000_000, 0)
+    assert _merge_counts(*vals) == vals
+
+
 def test_runner_two_simulated_hosts(tmp_path):
     pairs = [
         generate.generate_model(100 + 17 * s, 0.1, generate.ErrorModel.UNIFORM, s)

@@ -96,3 +96,25 @@ def test_native_pq_shifts_observed():
     cost, cigar, stats = astarpa_native(a, b, with_stats=True)
     assert cost == oracle.levenshtein(a, b)
     assert stats["pruned"] > 0
+
+
+def test_aligner_params_native_plumbing():
+    """--aligner astarpa-native honors dt/heuristic (advisor finding: they
+    were silently ignored) and rejects unsupported heuristics."""
+    import pytest
+
+    from astarpa_tpu import generate, oracle
+    from astarpa_tpu.params import AlignerParams, HeuristicParams, HeuristicType
+
+    p = AlignerParams(
+        aligner="astarpa-native", dt=False,
+        heuristic=HeuristicParams(heuristic=HeuristicType.CSH, k=8, r=1),
+    )
+    a, b = generate.uniform_seeded(300, 0.1, 3)
+    cost, cigar = p.build().align(a, b)
+    assert cost == oracle.levenshtein(a, b) and cigar.verify(a, b) == cost
+    with pytest.raises(ValueError):
+        AlignerParams(
+            aligner="astarpa-native",
+            heuristic=HeuristicParams(heuristic=HeuristicType.SH),
+        ).build()
