@@ -16,6 +16,7 @@ pair (SURVEY.md §2.6).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -50,6 +51,9 @@ class BatchAligner:
     lane_multiple: int = 256
     mesh: object = None
     max_band_doublings: int = 8
+    # Force the Pallas kernel in interpret mode off-TPU (tests/dry runs
+    # exercise the exact TPU kernel-selection + shard_map path on CPU).
+    pallas_interpret: bool = False
 
     def cost(self, pairs) -> np.ndarray:
         costs, _ = self.cost_with_stats(pairs)
@@ -121,32 +125,25 @@ class BatchAligner:
             attempt += 1
 
     def _kernel(self, a0, a1, pb0, pb1, n, m, sw: int, S: int):
-        """Dispatch: the Pallas kernel on a single TPU when the bucket fits
-        its constraints, else the portable jnp formulation (bit-identical)."""
-        import jax
+        """Dispatch the banded cost kernel: single device, or `shard_map`
+        over the mesh's batch axis so *every* shard runs the same
+        kernel-selection logic (Pallas on TPU shards; jnp elsewhere).
 
-        from ..ops import banded
-
-        B = a0.shape[1]
+        The mesh path is the multi-chip product (SURVEY.md §2.6): each
+        device computes its batch shard with the production Pallas kernel;
+        the only cross-device communication is the result gather XLA
+        inserts at readout.
+        """
         if sw > 64:
             # Large bands use the grouped word loop: multiples of 8 words.
             sw = min(-(-sw // 8) * 8, S)
-        # Largest pairs-per-program whose window state fits VMEM (above
-        # 256 words the initial window lives in HBM, so only the 4 state
-        # arrays scale with the band).
-        per_word = 17 if sw > 256 else 24
-        pp = 0
-        for cand in (4096, 2048, 1024, 512, 256, 128):
-            if cand <= B and B % cand == 0 and per_word * sw * cand < 11 * 2**20:
-                pp = cand
-                break
-        if self.mesh is None and jax.default_backend() == "tpu" and pp >= 128:
-            from ..ops.pallas_banded import banded_cost_tpu
-
-            return banded_cost_tpu(
-                a0, a1, pb0, pb1, n, m, band_words=sw, pairs_per_program=pp
+        if self.mesh is None:
+            return _local_cost(
+                a0, a1, pb0, pb1, n, m, sw=sw, interpret=self.pallas_interpret
             )
-        return banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw)
+        return _sharded_cost(self.mesh, sw, self.pallas_interpret)(
+            a0, a1, pb0, pb1, n, m
+        )
 
     def _shard(self, args):
         if self.mesh is None:
@@ -243,12 +240,7 @@ class BatchAligner:
         if sw > 64:
             sw = min(-(-sw // 8) * 8, S)
         shift = banded.shift_at_array(n_max, S, sw)
-        per_word = 17 if sw > 256 else 24
-        pp = 0
-        for cand in (1024, 512, 256, 128):
-            if cand <= B and B % cand == 0 and per_word * sw * cand < 11 * 2**20:
-                pp = cand
-                break
+        pp = _select_pp(B, sw, max_pp=1024)
         if jax.default_backend() == "tpu" and pp >= 128:
             # Checkpoint path: O(n/CB) readback; native C++ recomputes the
             # stripes (the sparse-blocks trace, `trace.rs:71-125` role).
@@ -308,6 +300,71 @@ class BatchAligner:
             assert cost == c, f"device cost {c} != trace cost {cost}"
             results.append((cost, cigar))
         return results
+
+
+def _select_pp(B: int, sw: int, max_pp: int = 4096) -> int:
+    """Largest pairs-per-program whose window state fits VMEM (above 256
+    words the initial window lives in HBM, so only the 4 state arrays scale
+    with the band); 0 if no >=128 multiple divides the batch."""
+    per_word = 17 if sw > 256 else 24
+    for cand in (4096, 2048, 1024, 512, 256, 128):
+        if cand > max_pp:
+            continue
+        if cand <= B and B % cand == 0 and per_word * sw * cand < 11 * 2**20:
+            return cand
+    return 0
+
+
+#: Kernel chosen by the most recent `_local_cost` *trace* ("pallas"/"jnp");
+#: test introspection only (cache hits don't re-trace, so don't rely on it
+#: being refreshed per call).
+LAST_KERNEL = None
+
+
+def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
+    """Per-device kernel selection: Pallas whenever this shard's batch
+    supports a >=128-pair program on a TPU backend (or interpret mode is
+    forced); bit-identical jnp formulation otherwise."""
+    import jax
+
+    from ..ops import banded
+
+    global LAST_KERNEL
+    B = a0.shape[1]
+    pp = _select_pp(B, sw)
+    use_pallas = pp >= 128 and (jax.default_backend() == "tpu" or interpret)
+    LAST_KERNEL = "pallas" if use_pallas else "jnp"
+    if use_pallas:
+        from ..ops.pallas_banded import banded_cost_tpu
+
+        return banded_cost_tpu(
+            a0, a1, pb0, pb1, n, m,
+            band_words=sw, pairs_per_program=pp, interpret=interpret,
+        )
+    return banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_cost(mesh, sw: int, interpret: bool):
+    """shard_map'd banded cost over the mesh's batch axis.  Cached per
+    (mesh, band) so jax.jit's trace cache is effective across batches."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    fn = functools.partial(_local_cost, sw=sw, interpret=interpret)
+    cols = P(None, "batch")
+    vec = P("batch")
+    return jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(cols, cols, cols, cols, vec, vec),
+            out_specs=vec,
+            # pallas_call out_shapes carry no vma annotations; the body is
+            # purely per-shard (no collectives), so vma checking adds nothing.
+            check_vma=False,
+        )
+    )
 
 
 def _pad_cols(x, pad: int):
