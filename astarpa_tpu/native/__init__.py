@@ -81,7 +81,7 @@ def astarpa_native(
         a, len(a), b, len(b), r, k, prune_mode, int(dt), int(use_gap_cost),
         ctypes.byref(cigar_p), stats,
     )
-    cigar = Cigar.from_string(cigar_p.value.decode()) if cigar_p.value else Cigar()
+    cigar = Cigar.from_string_lazy(cigar_p.value.decode()) if cigar_p.value else Cigar()
     # ctypes copies the value; free the C allocation.
     lib.astarpa_free(cigar_p)
     if with_stats:
@@ -112,7 +112,7 @@ def trace_banded(a: bytes, b: bytes, vp_cols, vm_cols, lo, band_words: int):
         ctypes.byref(cigar_p),
     )
     assert cost >= 0, "banded traceback failed (inconsistent planes)"
-    cigar = Cigar.from_string(cigar_p.value.decode()) if cigar_p.value else Cigar()
+    cigar = Cigar.from_string_lazy(cigar_p.value.decode()) if cigar_p.value else Cigar()
     lib.astarpa_free(cigar_p)
     return cost, cigar
 
@@ -126,12 +126,15 @@ def available() -> bool:
         return False
 
 
-def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, shift_at,
-                    band_words: int, col_block: int):
-    """CIGAR from per-block banded checkpoints (stripes recomputed in C++).
+def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, ck_tv,
+                    shift_at, band_words: int, col_block: int,
+                    use_dt: bool = True):
+    """CIGAR from per-block banded checkpoints.
 
-    ck_vp/ck_vm: (n_ck, SW) uint32 for this pair; shift_at: (>=n,) int32
-    bucket schedule.  Returns (cost, Cigar).
+    ck_vp/ck_vm: (n_ck, SW) uint32 for this pair; ck_tv: (n_ck,) int32
+    device top_val at the checkpoints; shift_at: (>=n,) int32 bucket
+    schedule.  The inter-checkpoint path comes from backward DT bursts
+    (use_dt) with a stripe-recompute fallback.  Returns (cost, Cigar).
     """
     import numpy as np
 
@@ -142,24 +145,28 @@ def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, shift_at,
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p),
         ]
         lib._ck_proto_set = True
     vp = np.ascontiguousarray(ck_vp, dtype=np.uint32)
     vm = np.ascontiguousarray(ck_vm, dtype=np.uint32)
+    tv = np.ascontiguousarray(ck_tv, dtype=np.int32)
     sh = np.ascontiguousarray(shift_at, dtype=np.int32)
     cigar_p = ctypes.c_char_p()
     cost = lib.trace_banded_ck(
         a, len(a), b, len(b), s_words,
         vp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         vm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        tv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         vp.shape[0],
         sh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        band_words, col_block,
+        band_words, col_block, int(use_dt),
         ctypes.byref(cigar_p),
     )
     assert cost >= 0, "checkpointed banded traceback failed"
-    cigar = Cigar.from_string(cigar_p.value.decode()) if cigar_p.value else Cigar()
+    cigar = Cigar.from_string_lazy(cigar_p.value.decode()) if cigar_p.value else Cigar()
     lib.astarpa_free(cigar_p)
     return cost, cigar

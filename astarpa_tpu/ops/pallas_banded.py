@@ -649,16 +649,16 @@ def banded_fill_tpu(
 def _banded_ck_kernel(
     shift_ref, lo_block_ref,
     a0_ref, a1_ref, wn0_ref, wn1_ref, sb0_ref, sb1_ref, n_ref, m_ref,
-    result_ref, ckvp_ref, ckvm_ref,
+    result_ref, ckvp_ref, ckvm_ref, cktv_ref,
     vp_ref, vm_ref, w0_ref, w1_ref, top_val_ref, top_rows_ref, res_ref, lo_ref,
     dma_sem,
     *, SW: int, CB: int, win_any: bool,
 ):
     """Checkpoint variant of :func:`_banded_kernel`: additionally writes the
-    window planes at the *start* of every column block (state after column
-    k*CB) — a tiny readback from which the native traceback recomputes
-    stripes on the fly (trace_banded_ck).  Keep in sync with the cost
-    kernel."""
+    window planes *and top_val* at the *start* of every column block (state
+    after column k*CB) — a tiny readback from which the native traceback
+    (trace_banded_ck) evaluates checkpoint-column DP values directly and
+    runs DT bursts in between.  Keep in sync with the cost kernel."""
     k = pl.program_id(1)
     P8 = n_ref.shape[1]
 
@@ -688,6 +688,7 @@ def _banded_ck_kernel(
 
     # Checkpoint: state entering this block (grouped for large bands to
     # bound temporaries).
+    cktv_ref[0, 0] = top_val_ref[:]
     if SW <= 64:
         ckvp_ref[0] = vp_ref[0:SW][:, None]
         ckvm_ref[0] = vm_ref[0:SW][:, None]
@@ -878,9 +879,10 @@ def banded_ck_tpu(
 ):
     """Banded cost + per-block window checkpoints (Pallas kernel).
 
-    Returns (costs (B,), ck_vp (n_blocks, SW, B), ck_vm) where checkpoint k
-    is the window state after column k*CB (CB = min(col_block, n_max)); the
-    native trace_banded_ck recomputes the stripes in between.
+    Returns (costs (B,), ck_vp (n_blocks, SW, B), ck_vm, ck_tv (n_blocks, B))
+    where checkpoint k is the window state + top_val after column k*CB
+    (CB = min(col_block, n_max)); the native trace_banded_ck evaluates
+    checkpoint columns directly and DT-bursts/recomputes in between.
     """
     n_max, B = a0.shape
     S = pb0.shape[0]
@@ -932,7 +934,7 @@ def banded_ck_tpu(
     win_any = SW > 256 and not interpret
     kernel = functools.partial(_banded_ck_kernel, SW=SW, CB=CB, win_any=win_any)
 
-    res, ckvp, ckvm = pl.pallas_call(
+    res, ckvp, ckvm, cktv = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -967,6 +969,7 @@ def banded_ck_tpu(
                 pl.BlockSpec((1, P8, 128), lambda p, k, *s: (p, 0, 0)),
                 pl.BlockSpec((1, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)),
                 pl.BlockSpec((1, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)),
+                pl.BlockSpec((1, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
             ),
             scratch_shapes=[
                 pltpu.VMEM((SWP, P8, 128), jnp.uint32),
@@ -984,6 +987,7 @@ def banded_ck_tpu(
             jax.ShapeDtypeStruct((B // PP, P8, 128), jnp.int32),
             jax.ShapeDtypeStruct((n_blocks, SW, B // PP, P8, 128), jnp.uint32),
             jax.ShapeDtypeStruct((n_blocks, SW, B // PP, P8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_blocks, B // PP, P8, 128), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -994,4 +998,5 @@ def banded_ck_tpu(
         res.reshape(B),
         ckvp.reshape(n_blocks, SW, B),
         ckvm.reshape(n_blocks, SW, B),
+        cktv.reshape(n_blocks, B),
     )

@@ -179,15 +179,25 @@ class BatchAligner:
         return self.align_with_stats(pairs)[0]
 
     def align_with_stats(self, pairs) -> tuple[list[tuple[int, Cigar]], BatchStats]:
-        """Costs + CIGARs: a fill pass stores the banded window planes on
-        device; the native C++ traceback walks them per pair
-        (`native/astarpa_native.cpp::trace_banded`).  Falls back to the host
-        block aligner when the native toolchain is unavailable.
-
-        One cost pass total: the stats of the internal cost pass are
-        returned, so callers never need a second pass just for stats.
+        """Costs + CIGARs in ONE device pass per band-doubling rung: the
+        checkpointing kernel runs *inside* the ladder, so certified pairs
+        are traced immediately from their certifying rung's checkpoints
+        (native DT-burst traceback, `native/astarpa_native.cpp::
+        trace_banded_ck`).  Off-TPU / small-lane configs fall back to a
+        cost ladder + fill-based trace; without a native toolchain, to the
+        host block aligner.
         """
+        import jax
+
         from .. import native
+
+        if (
+            native.available()
+            and jax.default_backend() == "tpu"
+            and self.mesh is None
+            and self.lane_multiple % 128 == 0
+        ):
+            return self._align_combined(pairs)
 
         costs, stats = self.cost_with_stats(pairs)
         if not native.available():
@@ -197,22 +207,93 @@ class BatchAligner:
         todo = []
         for idx, (a, b) in enumerate(pairs):
             if len(a) == 0 or len(b) == 0:
-                cigar = Cigar()
-                if len(a):
-                    from ..types import CigarOp
-
-                    cigar.push(CigarOp.DEL, len(a))
-                if len(b):
-                    from ..types import CigarOp
-
-                    cigar.push(CigarOp.INS, len(b))
-                results[idx] = (int(costs[idx]), cigar)
+                results[idx] = (int(costs[idx]), _trivial_cigar(a, b))
             else:
                 todo.append(idx)
 
         for bucket in _buckets(pairs, todo):
             self._trace_bucket(pairs, bucket, costs, results)
         return results, stats
+
+    def _align_combined(self, pairs) -> tuple[list[tuple[int, Cigar]], BatchStats]:
+        """TPU fast path: band-doubling ladder over the checkpointing Pallas
+        kernel; each rung both certifies costs and yields the checkpoints
+        its certified pairs are traced from (no second DP pass)."""
+        stats = BatchStats(pairs=len(pairs))
+        results: list = [None] * len(pairs)
+        todo: list[int] = []
+        for idx, (a, b) in enumerate(pairs):
+            if len(a) == 0 or len(b) == 0:
+                results[idx] = (len(a) + len(b), _trivial_cigar(a, b))
+            else:
+                todo.append(idx)
+        for bucket in _buckets(pairs, todo):
+            stats.buckets += 1
+            self._align_bucket_ck(pairs, bucket, results, stats)
+        stats.aligned_bp = sum(len(a) for a, _ in pairs)
+        return results, stats
+
+    def _align_bucket_ck(self, pairs, idxs, results, stats) -> None:
+        from .. import native
+        from ..ops import banded
+        from ..ops.pallas_banded import banded_ck_tpu
+        from ..ops.pallas_myers import pack_batch_staggered
+
+        band = self.band_words
+        pending = idxs
+        attempt = 0
+        while True:
+            bucket_pairs = [pairs[i] for i in pending]
+            args, B0 = pack_batch_staggered(bucket_pairs, self.lane_multiple)
+            a0, a1, pb0, pb1, n, m = args
+            n_max, S = a0.shape[0], pb0.shape[0]
+            sw = min(band, S)
+            if S > max(n_max, 1) or attempt >= self.max_band_doublings:
+                sw = S
+            if sw > 64:
+                sw = min(-(-sw // 8) * 8, S)
+            pp = _select_pp(a0.shape[1], sw, max_pp=1024)
+            assert pp >= 128, (a0.shape, sw)
+            # DT bursts make long checkpoint intervals cheap, and the
+            # device->host readback shrinks with 1/CB.
+            CB = min(max(1024, sw), max(n_max, 1))
+            got, ckvp, ckvm, cktv = banded_ck_tpu(
+                a0, a1, pb0, pb1, n, m,
+                band_words=sw, col_block=CB, pairs_per_program=pp,
+            )
+            stats.cells_computed += n_max * sw * W * len(pending)
+            costs = np.asarray(got)[:B0]
+            if sw >= S:
+                ok = np.ones(B0, dtype=bool)
+            else:
+                thr = banded.band_threshold(
+                    sw, np.asarray(n)[:B0], np.asarray(m)[:B0], n_max, S * W
+                )
+                ok = costs <= thr
+            sel = np.nonzero(ok)[0]
+            if sel.size:
+                # Gather only certified pairs' checkpoints on device; the
+                # host link is the scarce resource.
+                ckvp_h = np.asarray(ckvp[:, :, sel])
+                ckvm_h = np.asarray(ckvm[:, :, sel])
+                cktv_h = np.asarray(cktv[:, sel])
+                shift = banded.shift_at_array(n_max, S, sw)
+                for pos, slot in enumerate(sel):
+                    i = pending[slot]
+                    a, b = pairs[i]
+                    cost, cigar = native.trace_banded_ck(
+                        a, b, S, ckvp_h[:, :, pos], ckvm_h[:, :, pos],
+                        cktv_h[:, pos], shift, sw, CB,
+                    )
+                    assert cost == costs[slot], (cost, costs[slot])
+                    results[i] = (cost, cigar)
+            pending = [i for i, o in zip(pending, ok) if not o]
+            if not pending:
+                return
+            assert sw < S, "full-height window must certify every pair"
+            stats.band_retries += 1
+            band *= 2
+            attempt += 1
 
     def _trace_bucket(self, pairs, idxs, costs, results) -> None:
         from .. import native
@@ -242,23 +323,25 @@ class BatchAligner:
         shift = banded.shift_at_array(n_max, S, sw)
         pp = _select_pp(B, sw, max_pp=1024)
         if jax.default_backend() == "tpu" and pp >= 128:
-            # Checkpoint path: O(n/CB) readback; native C++ recomputes the
-            # stripes (the sparse-blocks trace, `trace.rs:71-125` role).
+            # Checkpoint path: O(n/CB) readback; native C++ DT-bursts (or
+            # recomputes stripes) in between (`trace.rs:231-416,71-125`).
             from ..ops.pallas_banded import banded_ck_tpu
 
-            # Checkpoint interval scales with the band so readback stays
-            # ~O(n) words per pair regardless of band height.
-            CB = min(max(128, sw), max(n_max, 1))
-            got, ckvp, ckvm = banded_ck_tpu(
+            CB = min(max(1024, sw), max(n_max, 1))
+            got, ckvp, ckvm, cktv = banded_ck_tpu(
                 a0, a1, pb0, pb1, n, m,
                 band_words=sw, col_block=CB, pairs_per_program=pp,
             )
-            ckvp = np.asarray(ckvp)
-            ckvm = np.asarray(ckvm)
+            # Slice off the padding lanes on device: only the real pairs'
+            # checkpoints cross the (slow) device->host link.
+            ckvp = np.asarray(ckvp[:, :, :B0])
+            ckvm = np.asarray(ckvm[:, :, :B0])
+            cktv = np.asarray(cktv[:, :B0])
             for slot, i in enumerate(idxs):
                 a, b = pairs[i]
                 cost, cigar = native.trace_banded_ck(
-                    a, b, S, ckvp[:, :, slot], ckvm[:, :, slot], shift, sw, CB
+                    a, b, S, ckvp[:, :, slot], ckvm[:, :, slot],
+                    cktv[:, slot], shift, sw, CB,
                 )
                 assert cost == costs[i], (cost, costs[i])
                 results[i] = (cost, cigar)
@@ -277,8 +360,8 @@ class BatchAligner:
         got, vp_cols, vm_cols = banded.banded_fill(
             a0, a1, pb0, pb1, n, m, band_words=sw
         )
-        vp_cols = np.asarray(vp_cols)
-        vm_cols = np.asarray(vm_cols)
+        vp_cols = np.asarray(vp_cols[:, :, :B0])
+        vm_cols = np.asarray(vm_cols[:, :, :B0])
         lo = np.cumsum(shift).astype(np.int32)  # top word after col i's shift
         for slot, i in enumerate(idxs):
             a, b = pairs[i]
@@ -300,6 +383,17 @@ class BatchAligner:
             assert cost == c, f"device cost {c} != trace cost {cost}"
             results.append((cost, cigar))
         return results
+
+
+def _trivial_cigar(a: bytes, b: bytes) -> Cigar:
+    from ..types import CigarOp
+
+    cigar = Cigar()
+    if len(a):
+        cigar.push(CigarOp.DEL, len(a))
+    if len(b):
+        cigar.push(CigarOp.INS, len(b))
+    return cigar
 
 
 def _select_pp(B: int, sw: int, max_pp: int = 4096) -> int:

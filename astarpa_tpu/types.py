@@ -19,6 +19,7 @@ arrays produced by :mod:`astarpa_tpu.ops.bitpack`.
 from __future__ import annotations
 
 import enum
+import re
 from dataclasses import dataclass, field
 from typing import Iterable, NamedTuple
 
@@ -104,7 +105,14 @@ class CigarElem:
     cnt: int
 
 
-@dataclass
+_CIGAR_RE = re.compile(r"(\d*)([=XIDM])")
+_OP_FROM_CHAR = {
+    "=": CigarOp.MATCH, "X": CigarOp.SUB, "I": CigarOp.INS,
+    "D": CigarOp.DEL, "M": CigarOp.MATCH,
+}
+
+
+@dataclass(eq=False)
 class Cigar:
     """A run-length encoded list of edit operations.
 
@@ -115,6 +123,12 @@ class Cigar:
     """
 
     ops: list[CigarElem] = field(default_factory=list)
+
+    def __eq__(self, other) -> bool:
+        # Tolerant of the lazy string-backed subclass on either side.
+        if not isinstance(other, Cigar):
+            return NotImplemented
+        return self.ops == other.ops
 
     def push(self, op: CigarOp, cnt: int = 1) -> None:
         if cnt == 0:
@@ -143,17 +157,29 @@ class Cigar:
     @staticmethod
     def from_string(s: str) -> "Cigar":
         cigar = Cigar()
-        cnt = 0
-        for ch in s:
-            if ch.isdigit():
-                cnt = cnt * 10 + int(ch)
+        ops = cigar.ops
+        from_char = _OP_FROM_CHAR
+        for cnt, ch in _CIGAR_RE.findall(s):
+            op = from_char[ch]
+            c = int(cnt) if cnt else 1
+            if ops and ops[-1].op == op:
+                ops[-1].cnt += c
             else:
-                cigar.push(CigarOp.from_char(ch), max(cnt, 1))
-                cnt = 0
+                ops.append(CigarElem(op, c))
         return cigar
 
     def cost(self) -> int:
         return sum(e.cnt for e in self.ops if e.op != CigarOp.MATCH)
+
+    @staticmethod
+    def from_string_lazy(s: str) -> "Cigar":
+        """A Cigar backed by its RLE string, parsed only on op-level access.
+
+        The native/device traceback paths return already-merged RLE strings;
+        the common consumers (CSV writers, `to_string`) never need the
+        per-element list, so production batches skip building hundreds of
+        thousands of Python objects."""
+        return _LazyCigar(s)
 
     def to_path(self) -> list[Pos]:
         """Expand to the list of visited positions, starting at (0, 0)."""
@@ -217,3 +243,28 @@ class Cigar:
                 cost += e.cnt
         assert i == len(a) and j == len(b), f"CIGAR ends at ({i},{j}), target ({len(a)},{len(b)})"
         return cost
+
+
+class _LazyCigar(Cigar):
+    """String-backed Cigar (see :meth:`Cigar.from_string_lazy`)."""
+
+    def __init__(self, s: str):
+        self._s = s
+        self._ops = None
+
+    @property
+    def ops(self) -> list[CigarElem]:
+        if self._ops is None:
+            self._ops = Cigar.from_string(self._s).ops
+        return self._ops
+
+    @ops.setter
+    def ops(self, value) -> None:
+        self._ops = value
+
+    def to_string(self) -> str:
+        if self._ops is None:
+            return self._s
+        return Cigar.to_string(self)
+
+    __str__ = to_string

@@ -32,14 +32,17 @@ int astarpa_align(const uint8_t* a, int n, const uint8_t* b, int m, int r,
                   char** cigar_out, int64_t* stats_out);
 
 /* Traceback from per-block banded-DP checkpoints (ck_vp/ck_vm: (n_ck, SW)
- * words = window state after every col_block columns); the stripes in
- * between are recomputed internally.  S is the bucket's padded profile
- * width in words; shift_at is the bucket's window schedule.  Returns the
- * banded cost and a malloc'd CIGAR, or < 0 on inconsistency. */
+ * words = window state after every col_block columns; ck_tv: (n_ck,)
+ * device top_val at the same columns).  The path between checkpoints is
+ * recovered with backward diagonal-transition bursts (use_dt=1) or by
+ * recomputing stripes (use_dt=0 and as the burst fallback).  S is the
+ * bucket's padded profile width in words; shift_at is the bucket's window
+ * schedule.  Returns the banded cost and a malloc'd CIGAR, or < 0 on
+ * inconsistency. */
 int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b, int m, int S,
-                    const uint32_t* ck_vp, const uint32_t* ck_vm, int n_ck,
-                    const int32_t* shift_at, int SW, int col_block,
-                    char** cigar_out);
+                    const uint32_t* ck_vp, const uint32_t* ck_vm,
+                    const int32_t* ck_tv, int n_ck, const int32_t* shift_at,
+                    int SW, int col_block, int use_dt, char** cigar_out);
 
 /* Traceback through stored banded-DP window planes for one pair (see
  * astarpa_tpu/ops/banded.py::banded_fill).  vp/vm are (n * SW) uint32 words

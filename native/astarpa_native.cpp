@@ -1182,40 +1182,38 @@ struct BandedRecompute {
 }  // namespace
 
 // Traceback from per-block checkpoints of the banded DP: checkpoint k holds
-// the window planes after column k*CB (checkpoint 0 = all-ones init); the
-// stripes in between are recomputed on the fly (the reference's
-// sparse-blocks + fill-on-demand trace, `astarpa2/src/blocks/trace.rs:71-125`,
-// re-shaped for the TPU batch kernel whose device->host readback should stay
-// tiny).  Returns the banded cost and a malloc'd CIGAR, or -1.
+// the window planes + top_val after column k*CB (checkpoint 0 = all-ones
+// init; top_val now comes from the device, so no forward prefix DP runs on
+// the host).  Between checkpoints the path is recovered by *backward
+// greedy diagonal-transition bursts* (the re-expression of the reference's
+// `dt_trace_block`, `astarpa2/src/blocks/trace.rs:231-416`): from the
+// current position, farthest-back-reaching DT layers are grown until some
+// state crosses the previous checkpoint column with a banded value that
+// matches the checkpoint exactly; only when a burst exceeds its g budget
+// does the O(CB*SW) stripe recompute fallback run (`trace.rs:71-125` role).
+// Returns the banded cost and a malloc'd CIGAR, or -1.
 extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
                                int m, int S, const uint32_t* ck_vp,
-                               const uint32_t* ck_vm, int n_ck_dev,
-                               const int32_t* shift_at, int SW, int CB,
-                               char** cigar_out) {
+                               const uint32_t* ck_vm, const int32_t* ck_tv,
+                               int n_ck_dev, const int32_t* shift_at, int SW,
+                               int CB, int use_dt, char** cigar_out) {
   BandedRecompute rc;
   rc.init(a, n, b, m, S, SW, shift_at);
 
-  // Forward prefix data per stripe: lo and top_val at each checkpoint.
+  // Checkpoint metadata: lo from the schedule prefix sum, top_val from the
+  // device readback.
   i32 n_ck = n / CB + 1;  // checkpoints at columns 0, CB, 2CB, ...
+  if (n_ck > n_ck_dev) n_ck = n_ck_dev;
   std::vector<i32> lo_ck(n_ck), tv_ck(n_ck);
   {
-    std::vector<u32> vp(SW, 0xFFFFFFFFu), vm(SW, 0);
-    i32 lo = 0, tv = 0;
+    i32 lo = 0;
     lo_ck[0] = 0;
-    tv_ck[0] = 0;
-    for (i32 col = 1; col <= n; col++) {
-      tv += rc.maybe_shift(col, lo, vp.data(), vm.data());
-      rc.column(col, lo, vp.data(), vm.data());
-      tv += 1;
-      if (col % CB == 0 && col / CB < n_ck) {
-        lo_ck[col / CB] = lo;
-        tv_ck[col / CB] = tv;
-        // Cross-check the device checkpoint (cheap, catches drift).
-        if (col / CB < n_ck_dev) {
-          const u32* dev = ck_vp + (size_t)(col / CB) * SW;
-          if (memcmp(dev, vp.data(), SW * 4) != 0) return -2;
-        }
-      }
+    tv_ck[0] = ck_tv ? ck_tv[0] : 0;
+    for (i32 k = 1; k < n_ck; k++) {
+      for (i32 col = (k - 1) * CB; col < k * CB; col++)
+        if (shift_at[col]) lo++;
+      lo_ck[k] = lo;
+      tv_ck[k] = ck_tv[k];
     }
   }
 
@@ -1269,6 +1267,14 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
   auto state_at = [&](i32 col, const u32** vp, const u32** vm, i32* lo,
                       i32* tv) {
     i32 k = col / CB;
+    // Checkpoint columns read the device planes directly — no recompute.
+    if (col % CB == 0 && k < n_ck) {
+      *vp = ck_vp + (size_t)k * SW;
+      *vm = ck_vm + (size_t)k * SW;
+      *lo = lo_ck[k];
+      *tv = tv_ck[k];
+      return;
+    }
     i32 t = col - k * CB;
     if (t == 0 && k > 0) {
       k -= 1;
@@ -1310,6 +1316,133 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
   i32 g = dval(n, m);
   i32 total = g;
   std::string rev;
+
+  // Backward DT burst from (iu, ju) (banded value Du) to checkpoint column
+  // c0: grow farthest-back-reaching layers X[g][D] (D = j - i diagonal,
+  // raw = position after the edit, ext = after backward greedy match
+  // extension) until a state crosses column c0 with dval(c0, c0+D) ==
+  // Du - g; then reconstruct the segment's ops.  Appends ops (u-side
+  // first) to rev and updates (i, j, g); returns false to use the
+  // stepwise fallback instead.
+  const i32 kNoI = INT32_MAX;
+  auto try_burst = [&](i32& iu, i32& ju, i32& Du, i32 c0) -> bool {
+    i32 D0 = ju - iu;
+    // Budget: local edits within this stripe, capped so layer memory stays
+    // bounded; escalation is geometric from a cheap start.
+    i32 hard_cap = std::min({Du, 2 * (iu - c0) + 256, 1 << 11});
+    // Prefix values along the landing column, so each candidate check is
+    // O(1) instead of an O(SW) popcount scan.
+    const u32 *cvp, *cvm;
+    i32 clo, ctv;
+    state_at(c0, &cvp, &cvm, &clo, &ctv);
+    std::vector<i32> cum(SW * 32 + 1);
+    cum[0] = ctv;
+    for (i32 w = 0; w < SW; w++)
+      for (i32 bit = 0; bit < 32; bit++) {
+        i32 idx = w * 32 + bit;
+        cum[idx + 1] =
+            cum[idx] + i32((cvp[w] >> bit) & 1) - i32((cvm[w] >> bit) & 1);
+      }
+    i32 ctop = clo * 32;
+    auto col_val = [&](i32 j) -> i32 {
+      i32 rel = j - ctop;
+      if (rel < 0) return INF;
+      if (rel <= SW * 32) return cum[rel];
+      return cum[SW * 32] + rel - SW * 32;
+    };
+    std::vector<std::vector<i32>> raw, ext;
+    // Greedy backward match extension, 8 chars per step (the reference's
+    // extend_left_simd, `astarpa2/src/blocks/trace.rs:453-500`).
+    auto extend_back = [&](i32 x, i32 D) -> i32 {
+      if (x == kNoI) return kNoI;
+      while (x >= 8 && x + D >= 8) {
+        u64 va, vb;
+        memcpy(&va, a + x - 8, 8);
+        memcpy(&vb, b + x + D - 8, 8);
+        u64 xo = va ^ vb;
+        if (xo) return x - i32(__builtin_clzll(xo) / 8);
+        x -= 8;
+      }
+      while (x > 0 && x + D > 0 && a[x - 1] == b[x + D - 1]) x--;
+      return x;
+    };
+    i32 found_g = -1, found_D = 0;
+    for (i32 gl = 0; gl <= hard_cap && found_g < 0; gl++) {
+      raw.emplace_back(2 * gl + 1, kNoI);
+      ext.emplace_back(2 * gl + 1, kNoI);
+      auto prev_ext = [&](i32 D) -> i32 {
+        i32 idx = D - D0 + (gl - 1);
+        if (gl == 0 || idx < 0 || idx > 2 * (gl - 1)) return kNoI;
+        return ext[gl - 1][idx];
+      };
+      for (i32 D = D0 - gl; D <= D0 + gl; D++) {
+        i32 r;
+        if (gl == 0) {
+          r = iu;
+        } else {
+          r = kNoI;
+          i32 c;
+          // sub from same diagonal
+          c = prev_ext(D);
+          if (c != kNoI && c - 1 < r) r = c - 1;
+          // del (consumes a) from D-1
+          c = prev_ext(D - 1);
+          if (c != kNoI && c - 1 < r) r = c - 1;
+          // ins (consumes b) from D+1
+          c = prev_ext(D + 1);
+          if (c != kNoI && c < r) r = c;
+          if (r != kNoI && (r < 0 || r + D < 0)) r = kNoI;
+        }
+        i32 e = extend_back(r, D);
+        raw[gl][D - D0 + gl] = r;
+        ext[gl][D - D0 + gl] = e;
+        if (e != kNoI && e <= c0 && c0 <= r) {
+          i32 jv = c0 + D;
+          if (jv >= 0 && jv <= m && col_val(jv) == Du - gl) {
+            found_g = gl;
+            found_D = D;
+            break;
+          }
+        }
+      }
+    }
+    if (found_g < 0) return false;
+
+    // Reconstruct forward from the landing (c0, c0 + D) to (iu, ju).
+    std::string fwd;
+    i32 x = c0, D = found_D;
+    for (i32 gl = found_g; gl > 0; gl--) {
+      i32 r = raw[gl][D - D0 + gl];
+      fwd.append(r - x, '=');
+      x = r;
+      auto pe = [&](i32 Dp) -> i32 {
+        i32 idx = Dp - D0 + (gl - 1);
+        if (idx < 0 || idx > 2 * (gl - 1)) return kNoI;
+        return ext[gl - 1][idx];
+      };
+      if (pe(D) != kNoI && pe(D) - 1 == x) {
+        fwd += 'X';
+        x += 1;
+      } else if (pe(D - 1) != kNoI && pe(D - 1) - 1 == x) {
+        fwd += 'D';
+        x += 1;
+        D -= 1;
+      } else if (pe(D + 1) != kNoI && pe(D + 1) == x) {
+        fwd += 'I';
+        D += 1;
+      } else {
+        return false;  // inconsistent layers; stepwise fallback
+      }
+    }
+    if (D != D0 || x > iu) return false;
+    fwd.append(iu - x, '=');
+    rev.append(fwd.rbegin(), fwd.rend());
+    ju = c0 + found_D;
+    iu = c0;
+    Du -= found_g;
+    return true;
+  };
+
   while (i > 0 || j > 0) {
     if (i == 0) {
       rev.append(j, 'I');
@@ -1319,30 +1452,36 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
       rev.append(i, 'D');
       break;
     }
-    if (j <= top_rows_at(i)) {
-      rev += 'D';
-      i--;
-      g--;
-      continue;
-    }
-    bool eq = a[i - 1] == b[j - 1];
-    i32 d_left = dval(i, j - 1);
-    i32 d_diag = dval(i - 1, j - 1);
-    i32 d_up = dval(i - 1, j);
-    if (eq && d_diag == g) {
-      rev += '=';
-      i--; j--;
-    } else if (d_up != INF && d_up + 1 == g) {
-      rev += 'D';
-      i--; g--;
-    } else if (d_left != INF && d_left + 1 == g) {
-      rev += 'I';
-      j--; g--;
-    } else if (d_diag != INF && d_diag + 1 == g) {
-      rev += 'X';
-      i--; j--; g--;
-    } else {
-      return -4;
+    i32 c0 = (i - 1) / CB * CB;
+    if (use_dt && try_burst(i, j, g, c0)) continue;
+    // Stepwise fallback through the recomputed stripe, until the previous
+    // checkpoint column (then bursts take over again).
+    while (i > c0 && j > 0) {
+      if (j <= top_rows_at(i)) {
+        rev += 'D';
+        i--;
+        g--;
+        continue;
+      }
+      bool eq = a[i - 1] == b[j - 1];
+      i32 d_left = dval(i, j - 1);
+      i32 d_diag = dval(i - 1, j - 1);
+      i32 d_up = dval(i - 1, j);
+      if (eq && d_diag == g) {
+        rev += '=';
+        i--; j--;
+      } else if (d_up != INF && d_up + 1 == g) {
+        rev += 'D';
+        i--; g--;
+      } else if (d_left != INF && d_left + 1 == g) {
+        rev += 'I';
+        j--; g--;
+      } else if (d_diag != INF && d_diag + 1 == g) {
+        rev += 'X';
+        i--; j--; g--;
+      } else {
+        return -4;
+      }
     }
   }
   if (cigar_out) {

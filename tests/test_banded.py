@@ -187,9 +187,38 @@ def test_banded_fill_matches_cost():
     assert vp_cols.shape[0] == a0.shape[0]
 
 
-def test_trace_banded_ck_cpu():
+def _host_checkpoints(vp_cols, vm_cols, shift, n_vec, CB, n_blocks):
+    """Derive (ckvp, ckvm, cktv) exactly as the TPU ck kernel emits them:
+    checkpoint k = window planes + top_val after column k*CB (checkpoint 0 =
+    all-ones init / 0).  Mirrors the kernel's order: absorb-on-shift before
+    the column, +1 only while the pair is active."""
+    n_max, SW, B = vp_cols.shape
+    ckvp = np.zeros((n_blocks, SW, B), np.uint32)
+    ckvm = np.zeros((n_blocks, SW, B), np.uint32)
+    cktv = np.zeros((n_blocks, B), np.int32)
+    ckvp[0] = 0xFFFFFFFF
+    for k in range(1, n_blocks):
+        ckvp[k] = vp_cols[k * CB - 1]
+        ckvm[k] = vm_cols[k * CB - 1]
+    popc = np.vectorize(lambda x: bin(int(x)).count("1"))
+    tv = np.zeros(B, np.int64)
+    for i in range(n_max):
+        if i % CB == 0:
+            cktv[i // CB] = tv
+        if shift[i]:
+            if i == 0:
+                tv += 32
+            else:
+                tv += popc(vp_cols[i - 1, 0]) - popc(vm_cols[i - 1, 0])
+        tv += (i < np.asarray(n_vec)).astype(np.int64)
+    return ckvp, ckvm, cktv
+
+
+@pytest.mark.parametrize("use_dt", [True, False])
+def test_trace_banded_ck_cpu(use_dt):
     """Checkpointed native traceback: derive checkpoints from the jnp fill
-    (= what the TPU ck kernel emits) and verify exact CIGARs."""
+    (= what the TPU ck kernel emits) and verify exact CIGARs, both via DT
+    bursts and via the stripe-recompute fallback."""
     from astarpa_tpu import native
 
     if not native.available():
@@ -205,22 +234,42 @@ def test_trace_banded_ck_cpu():
     vm_cols = np.asarray(vm_cols)
     shift = banded.shift_at_array(n_max, S, SW)
     n_blocks = -(-n_max // CB)
-    B = a0.shape[1]
-    ckvp = np.zeros((n_blocks, SW, B), np.uint32)
-    ckvm = np.zeros((n_blocks, SW, B), np.uint32)
-    ckvp[0] = 0xFFFFFFFF
-    for k in range(1, n_blocks):
-        ckvp[k] = vp_cols[k * CB - 1]
-        ckvm[k] = vm_cols[k * CB - 1]
+    ckvp, ckvm, cktv = _host_checkpoints(vp_cols, vm_cols, shift, n, CB, n_blocks)
     checked = 0
     for slot, (a, b) in enumerate(pairs):
         thr = banded.band_threshold(SW, len(a), len(b), n_max, S * 32)
         if costs[slot] > thr:
             continue
         cost, cig = native.trace_banded_ck(
-            a, b, S, ckvp[:, :, slot], ckvm[:, :, slot], shift, SW, CB
+            a, b, S, ckvp[:, :, slot], ckvm[:, :, slot], cktv[:, slot],
+            shift, SW, CB, use_dt=use_dt,
         )
         assert cost == costs[slot] == oracle.levenshtein(a, b)
         assert cig.verify(a, b) == cost
         checked += 1
     assert checked >= len(pairs) // 2
+
+
+def test_ck_kernel_interpret_top_val():
+    """The ck kernel's cktv output matches the host-derived top_val."""
+    from astarpa_tpu.ops.pallas_banded import banded_ck_tpu
+
+    pairs = [generate.uniform_seeded(200 + 13 * s, 0.1, 900 + s) for s in range(128)]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=128)
+    a0, a1, pb0, pb1, n, m = args
+    n_max, S = a0.shape[0], pb0.shape[0]
+    SW, CB = 8, 64
+    costs, vp_cols, vm_cols = banded.banded_fill(a0, a1, pb0, pb1, n, m, band_words=SW)
+    shift = banded.shift_at_array(n_max, S, SW)
+    n_blocks = -(-n_max // CB)
+    ckvp, ckvm, cktv = _host_checkpoints(
+        np.asarray(vp_cols), np.asarray(vm_cols), shift, n, CB, n_blocks
+    )
+    got, kvp, kvm, ktv = banded_ck_tpu(
+        a0, a1, pb0, pb1, n, m,
+        band_words=SW, col_block=CB, pairs_per_program=128, interpret=True,
+    )
+    assert (np.asarray(got) == np.asarray(costs)).all()
+    assert (np.asarray(kvp) == ckvp).all()
+    assert (np.asarray(kvm) == ckvm).all()
+    assert (np.asarray(ktv) == cktv).all()
