@@ -160,14 +160,18 @@ class CSHI(HeuristicInstance):
         """Per-position prune for the A* loop (`csh.rs:393-468`).
 
         Departure from the reference: the contours are rebuilt from the
-        active match set instead of rippled incrementally, which is exact by
-        construction; the O(1) queue-shift amount is therefore not tracked
-        and 0 is returned (always sound — stale entries are lazily
-        reordered on pop instead).  The native C++ runtime implements the
-        incremental ripple with true shifts.
+        active match set instead of rippled incrementally (exact by
+        construction).  The O(1) queue-shift amount is the score decrease
+        at the pruned position — the same quantity the reference's
+        incremental ripple reports (`hint_contours.rs:459-637`) — gated
+        for GCSH on the pruned position dominating everything explored
+        (`csh.rs:452-459`); the ShiftQueue additionally verifies that it
+        dominates everything *pushed* before applying the shift.
         """
         if not self.params.pruning.is_enabled():
             return 0, self.order_zero()
+        tpos = self.transform(pos)
+        v_before = self.contours.score(tpos)
         p_start, p_end = self.pruner.prune(self.seeds, pos)
         self.hstats.prune_calls += 1
         if p_start + p_end == 0:
@@ -175,7 +179,13 @@ class CSHI(HeuristicInstance):
         self.num_pruned += p_start + p_end
         self.hstats.num_pruned += p_start + p_end
         self._rebuild_contours()
-        return 0, self.order_of(pos)
+        change = max(0, v_before - self.contours.score(tpos))
+        if self.params.use_gap_cost and not (
+            self.max_transformed_pos.i <= tpos.i
+            and self.max_transformed_pos.j <= tpos.j
+        ):
+            change = 0
+        return change, self.order_of(pos)
 
     def stats(self) -> HeuristicStats:
         self.hstats.h0_end = self.h(Pos(0, 0))

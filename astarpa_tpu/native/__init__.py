@@ -170,3 +170,126 @@ def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, ck_tv,
     cigar = Cigar.from_string_lazy(cigar_p.value.decode()) if cigar_p.value else Cigar()
     lib.astarpa_free(cigar_p)
     return cost, cigar
+
+
+def gcsh_domain(a: bytes, b: bytes, f_max: int, k: int = 12, r: int = 1,
+                step: int = 64):
+    """Sampled fwd+rev GCSH domain hull (see astarpa_tpu.domain)."""
+    import numpy as np
+
+    from ..domain import PairDomain
+
+    lib = load()
+    if not hasattr(lib, "_dom_proto_set"):
+        lib.gcsh_domain.restype = ctypes.c_int
+        lib.gcsh_domain.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib._dom_proto_set = True
+    n, m = len(a), len(b)
+    ns = n // step + 2
+    lo = np.zeros(ns, np.int32)
+    hi = np.zeros(ns, np.int32)
+    h0 = ctypes.c_int32()
+    rc = lib.gcsh_domain(
+        a, n, b, m, k, r, f_max, step,
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(h0),
+    )
+    return PairDomain(n, m, f_max, int(h0.value), step, lo, hi, empty=rc != 0)
+
+
+class DomainHandle:
+    """Cached fwd+rev GCSH instances for one pair; sample the domain hull
+    at successive f_max values without rebuilding the matchers."""
+
+    def __init__(self, a: bytes, b: bytes, k: int = 12, r: int = 1):
+        import numpy as np
+
+        lib = load()
+        if not hasattr(lib, "_domh_proto_set"):
+            lib.gcsh_domain_new.restype = ctypes.c_void_p
+            lib.gcsh_domain_new.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.gcsh_domain_sample.restype = ctypes.c_int
+            lib.gcsh_domain_sample.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.gcsh_domain_del.restype = None
+            lib.gcsh_domain_del.argtypes = [ctypes.c_void_p]
+            lib._domh_proto_set = True
+        self._lib = lib
+        self.n, self.m = len(a), len(b)
+        h0 = ctypes.c_int32()
+        self._h = lib.gcsh_domain_new(a, self.n, b, self.m, k, r, ctypes.byref(h0))
+        self.h0 = int(h0.value)
+        self._np = np
+
+    def sample(self, f_max: int, step: int = 64):
+        """Returns a astarpa_tpu.domain.PairDomain."""
+        from ..domain import PairDomain
+
+        np = self._np
+        ns = self.n // step + 2
+        lo = np.zeros(ns, np.int32)
+        hi = np.zeros(ns, np.int32)
+        rc = self._lib.gcsh_domain_sample(
+            self._h, f_max, step,
+            lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return PairDomain(self.n, self.m, f_max, self.h0, step, lo, hi,
+                          empty=rc != 0)
+
+    def close(self):
+        if self._h:
+            self._lib.gcsh_domain_del(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+_U32P = ctypes.POINTER(ctypes.c_uint32)
+
+
+def _blk_lib():
+    lib = load()
+    if not hasattr(lib, "_blk_proto_set"):
+        lib.block_compute.restype = None
+        lib.block_compute.argtypes = [_U32P, _U32P, ctypes.c_int, _U32P,
+                                      _U32P, ctypes.c_int, _U32P, _U32P,
+                                      _U32P, _U32P]
+        lib.block_fill.restype = None
+        lib.block_fill.argtypes = [_U32P, _U32P, ctypes.c_int, _U32P, _U32P,
+                                   ctypes.c_int, _U32P, _U32P, _U32P, _U32P,
+                                   _U32P, _U32P]
+        lib._blk_proto_set = True
+    return lib
+
+
+def block_compute(a0, a1, pb0, pb1, vp, vm, hp, hm):
+    """Native Myers block DP (astarpa2 backend): mutates vp/vm/hp/hm
+    (contiguous uint32 numpy, exact sizes) in place."""
+    lib = _blk_lib()
+    p = lambda x: x.ctypes.data_as(_U32P)
+    lib.block_compute(p(a0), p(a1), len(a0), p(pb0), p(pb1), len(pb0),
+                      p(vp), p(vm), p(hp), p(hm))
+
+
+def block_fill(a0, a1, pb0, pb1, vp, vm, hp, hm, vp_cols, vm_cols):
+    """Fill variant: writes (ncols, nwords) planes into vp_cols/vm_cols."""
+    lib = _blk_lib()
+    p = lambda x: x.ctypes.data_as(_U32P)
+    lib.block_fill(p(a0), p(a1), len(a0), p(pb0), p(pb1), len(pb0),
+                   p(vp), p(vm), p(hp), p(hm), p(vp_cols), p(vm_cols))

@@ -277,6 +277,140 @@ def banded_fill_block(a0, a1, pb0, pb1, n, m, band_words: int):
 banded_fill = jax.jit(banded_fill_block, static_argnames=("band_words",))
 
 
+#: Per-pair schedules only shift at multiples of this column quantum: the
+#: Pallas kernel's masked window roll then amortizes over SCHEDULE_Q plain
+#: columns (see pallas_banded._columns).
+SCHEDULE_Q = 32
+
+
+def pair_gap_schedule(n, m, band_words: int, n_max: int, s_words: int):
+    """Per-pair shift schedules: each window tracks its own pair's
+    gap-centered line (row center ``i + (m-n)/2`` — the center of the
+    cost-``thr`` parallelogram between the two corner diagonals), so the
+    exactness threshold drops to ``SW*W - 4W`` with NO ``|m-n|`` or
+    bucket-skew terms (cf. :func:`band_threshold` for the shared bucket
+    schedule, which pays both).
+
+    Returns ``(sched (n_max, B) uint8, thr (B,) int64)``; ``thr[p] = -1``
+    marks pairs whose parallelogram cannot be entered at <=1 word shift
+    per column from lo=0 (|m-n| >= SW*W) — they are never certified at
+    this band and retry wider.  The center line has slope exactly 1, so
+    the one-shift-per-column kernel constraint holds for ANY length skew.
+    """
+    n_arr = np.maximum(np.asarray(n, np.int64), 1)
+    m_arr = np.asarray(m, np.int64)
+    B = n_arr.shape[0]
+    SW = min(band_words, s_words)
+    half = (SW * W) // 2
+    lo_max = np.maximum(0, -(-m_arr // W) - SW)  # window must end over m
+    d = m_arr - n_arr
+    i = np.arange(n_max, dtype=np.int64)[:, None]
+    # Freeze each pair's schedule at its own final column.
+    i_eff = np.minimum(i, np.maximum(n_arr, 1)[None, :] - 1)
+    center = (2 * i_eff + d[None, :]) // 2
+    desired = np.clip((center - half) // W, 0, lo_max[None, :])
+    # Quantize to the kernel's group granularity (hold from each group
+    # start: shifts only at multiples of SCHEDULE_Q, delayed — the top
+    # stays higher, sound; the <= 1-word bottom deficit is in the -6W
+    # threshold slack).  The slope is 1/W per column, so group deltas
+    # are always <= 1.
+    desired = desired[(i[:, 0] // SCHEDULE_Q) * SCHEDULE_Q]
+    sched = np.diff(desired, axis=0, prepend=0).astype(np.uint8)
+    bad = desired[0] > 0
+    sched[:, bad] = 0
+    thr = np.full(B, SW * W - 6 * W, np.int64)
+    thr[bad] = -1
+    assert (sched <= 1).all()
+    return sched, thr
+
+
+def banded_cost_block_pp(a0, a1, pb0, pb1, n, m, schedule, band_words: int):
+    """Per-pair-schedule twin of :func:`banded_cost_block` (jnp reference
+    for the Pallas per-pair mode; bit-identical by construction).
+
+    ``schedule``: (n_max, B) 0/1 — pair p's window slides one word down
+    before column i iff schedule[i, p].
+    """
+    n_max, B = a0.shape
+    S = pb0.shape[0]
+    SW = min(band_words, S)
+    n = n.astype(jnp.int32)
+    m = m.astype(jnp.int32)
+    sched = jnp.asarray(schedule).astype(jnp.int32)
+
+    def body(i, state):
+        vp, vm, win0, win1, top_val, lo, result, top_rows = state
+
+        shift = sched[i]
+        do_shift = shift > 0
+        top_val = jnp.where(
+            do_shift, top_val + _popcount(vp[0]) - _popcount(vm[0]), top_val
+        )
+        top_rows = jnp.where(do_shift, top_rows + W, top_rows)
+        lo_new = lo + shift
+        ent_idx = jnp.minimum(lo_new + SW - 1, S - 1)
+        nxt0 = jnp.take_along_axis(pb0, ent_idx[None, :], axis=0)
+        nxt1 = jnp.take_along_axis(pb1, ent_idx[None, :], axis=0)
+        shifted = lambda w, nxt: jnp.concatenate([w[1:], nxt], axis=0)
+        vp = jnp.where(do_shift, shifted(vp, jnp.full((1, B), _ONES, U32)), vp)
+        vm = jnp.where(do_shift, shifted(vm, jnp.zeros((1, B), U32)), vm)
+        win0 = jnp.where(do_shift, shifted(win0, nxt0), win0)
+        win1 = jnp.where(do_shift, shifted(win1, nxt1), win1)
+        lo = lo_new
+
+        ca0 = a0[i][None, :]
+        ca1 = a1[i][None, :]
+        eq = (ca0 ^ win0) & (ca1 ^ win1)
+
+        def word_step(w, carry):
+            vp, vm, hp0, hm0 = carry
+            eqw = eq[w]
+            vpw, vmw = vp[w], vm[w]
+            vx = eqw | vmw
+            eq2 = eqw | hm0
+            hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+            hp = vmw | ~(hx | vpw)
+            hm = vpw & hx
+            hpw = hp >> (W - 1)
+            hmw = hm >> (W - 1)
+            hp = (hp << 1) | hp0
+            hm = (hm << 1) | hm0
+            vp = vp.at[w].set(hm | ~(vx | hp))
+            vm = vm.at[w].set(hp & vx)
+            return vp, vm, hpw, hmw
+
+        ones = jnp.ones((B,), U32)
+        zeros = jnp.zeros((B,), U32)
+        vp2, vm2, _, _ = jax.lax.fori_loop(0, SW, word_step, (vp, vm, ones, zeros))
+
+        active = i < n
+        vp = jnp.where(active, vp2, vp)
+        vm = jnp.where(active, vm2, vm)
+        top_val = jnp.where(active, top_val + 1, top_val)
+
+        done = i == n - 1
+        res_now = top_val + _value_to_window(vp, vm, m - top_rows)
+        covered = (m - top_rows) <= SW * W
+        res_now = jnp.where(covered, res_now, jnp.int32(1 << 30))
+        result = jnp.where(done, res_now, result)
+        return vp, vm, win0, win1, top_val, lo, result, top_rows
+
+    vp0 = jnp.full((SW, B), _ONES, U32)
+    vm0 = jnp.zeros((SW, B), U32)
+    win0 = jax.lax.dynamic_slice_in_dim(pb0, 0, SW, axis=0)
+    win1 = jax.lax.dynamic_slice_in_dim(pb1, 0, SW, axis=0)
+    state = (
+        vp0, vm0, win0, win1,
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32), m,
+        jnp.zeros((B,), jnp.int32),
+    )
+    state = jax.lax.fori_loop(0, n_max, body, state)
+    return state[6]
+
+
+banded_cost_pp = jax.jit(banded_cost_block_pp, static_argnames=("band_words",))
+
+
 def band_threshold(band_words: int, n, m, n_max: int, m_max: int):
     """Largest certified-exact distance for this band (NumPy, per pair).
 

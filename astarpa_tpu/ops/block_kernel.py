@@ -111,15 +111,25 @@ class BlockKernel:
     dispatches padded device calls for column ranges x word ranges.
     """
 
+    #: Class-level switch: None = auto (native when available).  The jnp
+    #: path stays as the device twin; tests force both.
+    use_native: bool | None = None
+
     def __init__(self, a0, a1, pb0, pb1, col_bucket: int = 256):
-        self.a0 = np.asarray(a0, dtype=np.uint32)
-        self.a1 = np.asarray(a1, dtype=np.uint32)
-        self.pb0 = np.asarray(pb0, dtype=np.uint32)
-        self.pb1 = np.asarray(pb1, dtype=np.uint32)
+        self.a0 = np.ascontiguousarray(a0, dtype=np.uint32)
+        self.a1 = np.ascontiguousarray(a1, dtype=np.uint32)
+        self.pb0 = np.ascontiguousarray(pb0, dtype=np.uint32)
+        self.pb1 = np.ascontiguousarray(pb1, dtype=np.uint32)
         self.col_bucket = col_bucket
         # Stats, mirroring BlockStats (`blocks.rs:76-84`).
         self.computed_lanes = 0
         self.computed_cols = 0
+        if BlockKernel.use_native is None:
+            from .. import native
+
+            self._native = native.available()
+        else:
+            self._native = bool(BlockKernel.use_native)
 
     def _slices(self, i0: int, i1: int, w0: int, w1: int, col_bucket=None):
         ncols = i1 - i0
@@ -142,6 +152,33 @@ class BlockKernel:
         hp_in/hm_in: optional (i1-i0,) top-edge h bits; default +1.
         Returns (vp, vm, hp_out, hm_out) as numpy, cropped to true sizes.
         """
+        if self._native:
+            from .. import native
+
+            ncols = i1 - i0
+            nwords = w1 - w0
+            a0 = np.ascontiguousarray(self.a0[i0:i1])
+            a1 = np.ascontiguousarray(self.a1[i0:i1])
+            pb0 = np.zeros(nwords, np.uint32)
+            pb1 = np.zeros(nwords, np.uint32)
+            avail = max(0, min(w1, len(self.pb0)) - w0)
+            pb0[:avail] = self.pb0[w0 : w0 + avail]
+            pb1[:avail] = self.pb1[w0 : w0 + avail]
+            vp_o = np.ascontiguousarray(vp, np.uint32).copy()
+            vm_o = np.ascontiguousarray(vm, np.uint32).copy()
+            hp = np.ascontiguousarray(
+                hp_in if hp_in is not None else np.ones(ncols, np.uint32),
+                np.uint32,
+            ).copy()
+            hm = np.ascontiguousarray(
+                hm_in if hm_in is not None else np.zeros(ncols, np.uint32),
+                np.uint32,
+            ).copy()
+            native.block_compute(a0, a1, pb0, pb1, vp_o, vm_o, hp, hm)
+            self.computed_lanes += nwords * ncols
+            self.computed_cols += ncols
+            return vp_o, vm_o, hp, hm
+
         ncols, ncols_p, nwords, nwords_p, a0, a1, pb0, pb1 = self._slices(i0, i1, w0, w1)
         vp_p = np.full(nwords_p, _ONES_NP, dtype=np.uint32)
         vm_p = np.zeros(nwords_p, dtype=np.uint32)
@@ -165,6 +202,30 @@ class BlockKernel:
 
     def fill(self, i0, i1, w0, w1, vp, vm):
         """Like compute but returns per-column v planes (ncols, nwords)."""
+        if self._native:
+            from .. import native
+
+            ncols = i1 - i0
+            nwords = w1 - w0
+            a0 = np.ascontiguousarray(self.a0[i0:i1])
+            a1 = np.ascontiguousarray(self.a1[i0:i1])
+            pb0 = np.zeros(nwords, np.uint32)
+            pb1 = np.zeros(nwords, np.uint32)
+            avail = max(0, min(w1, len(self.pb0)) - w0)
+            pb0[:avail] = self.pb0[w0 : w0 + avail]
+            pb1[:avail] = self.pb1[w0 : w0 + avail]
+            vp_c = np.ascontiguousarray(vp, np.uint32).copy()
+            vm_c = np.ascontiguousarray(vm, np.uint32).copy()
+            hp = np.ones(ncols, np.uint32)
+            hm = np.zeros(ncols, np.uint32)
+            vp_cols = np.zeros((ncols, nwords), np.uint32)
+            vm_cols = np.zeros((ncols, nwords), np.uint32)
+            native.block_fill(a0, a1, pb0, pb1, vp_c, vm_c, hp, hm,
+                              vp_cols, vm_cols)
+            self.computed_lanes += nwords * ncols
+            self.computed_cols += ncols
+            return vp_cols, vm_cols
+
         ncols, ncols_p, nwords, nwords_p, a0, a1, pb0, pb1 = self._slices(
             i0, i1, w0, w1, col_bucket=64
         )

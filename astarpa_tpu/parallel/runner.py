@@ -54,6 +54,24 @@ class BatchAligner:
     # Force the Pallas kernel in interpret mode off-TPU (tests/dry runs
     # exercise the exact TPU kernel-selection + shard_map path on CPU).
     pallas_interpret: bool = False
+    # Domain-restricted per-pair bands (the re-expression of the
+    # reference's band doubling + A* domain, `astarpa2/src/band.rs:100-141`
+    # + `domain.rs:117-235`): buckets of pairs >= domain_min_bp run an f
+    # ladder where each pair's window follows its own domain hull:
+    #   "gap"  — closed-form cost-f parallelogram (no host work; removes
+    #            the bucket-skew and |m-n| certificate penalties),
+    #   "gcsh" — fwd+rev GCSH heuristic domain sampled by the native
+    #            runtime (much thinner bands at high divergence; costs
+    #            ~1-3s of host CPU per 500kbp pair to build, parallel
+    #            across pairs on multi-core hosts),
+    #   "auto" — gcsh when the native runtime is available and the host
+    #            has >= 8 cores to amortize builds; gap otherwise,
+    #   "off"  — plain shared-bucket Ukkonen band ladder only.
+    domain_mode: str = "auto"
+    domain_min_bp: int = 32768
+    domain_k: int = 12
+    domain_r: int = 2
+    max_f_rounds: int = 10
 
     def cost(self, pairs) -> np.ndarray:
         costs, _ = self.cost_with_stats(pairs)
@@ -74,7 +92,11 @@ class BatchAligner:
 
         for bucket in _buckets(pairs, todo):
             stats.buckets += 1
-            self._run_bucket(pairs, bucket, out, stats)
+            mode = self._resolve_domain_mode(pairs, bucket, want_cigars=False)
+            if mode:
+                self._domain_ladder(pairs, bucket, out, stats, mode=mode)
+            else:
+                self._run_bucket(pairs, bucket, out, stats)
 
         stats.aligned_bp = sum(len(a) for a, _ in pairs)
         assert (out >= 0).all()
@@ -123,6 +145,217 @@ class BatchAligner:
             stats.band_retries += 1
             band *= 2
             attempt += 1
+
+    def _resolve_domain_mode(self, pairs, idxs, want_cigars: bool) -> str | None:
+        """Returns "gap"/"gcsh" when the bucket should use the per-pair
+        domain ladder, else None (plain shared ladder)."""
+        if self.domain_mode == "off" or self.mesh is not None:
+            return None
+        big = max(len(pairs[i][0]) for i in idxs) >= self.domain_min_bp
+        if not big and self.domain_mode == "auto":
+            return None
+        mode = self.domain_mode
+        if mode == "auto":
+            import os
+
+            from .. import native
+
+            mode = (
+                "gcsh"
+                if native.available() and (os.cpu_count() or 1) >= 8
+                else "gap"
+            )
+        if mode == "gcsh":
+            from .. import native
+
+            if not native.available():
+                mode = "gap"
+        if want_cigars:
+            import jax
+
+            from .. import native
+
+            on_tpu = jax.default_backend() == "tpu" or self.pallas_interpret
+            if not (
+                on_tpu and self.lane_multiple % 128 == 0 and native.available()
+            ):
+                return None
+        return mode
+
+    def _domain_ladder(self, pairs, idxs, out, stats, results=None,
+                       mode: str = "gcsh") -> None:
+        """f ladder over heuristic-restricted per-pair bands (the batched
+        re-expression of `astarpa2`'s band doubling + A* domain): sample
+        each pair's fwd+rev GCSH domain at its own f, run ONE device pass
+        for the bucket with per-pair window schedules, accept pairs whose
+        banded result is <= their f (the standard doubling certificate),
+        and feed the rejected pairs' banded upper bounds back as the next
+        f — so f converges to just above the true distance instead of
+        overshooting by the doubling factor.
+        """
+        import jax
+
+        from .. import native
+        from ..domain import domain_schedule
+        from ..ops import banded
+        from ..ops.pallas_myers import pack_batch_staggered
+
+        bucket_pairs = [pairs[i] for i in idxs]
+        args, B0 = pack_batch_staggered(bucket_pairs, self.lane_multiple)
+        a0, a1, pb0, pb1, n, m = args
+        n_max, S = a0.shape[0], pb0.shape[0]
+        B = a0.shape[1]
+        step = 64 if n_max <= 200_000 else 128
+        if mode == "gcsh":
+            # GIL-released ctypes builds: parallel across pairs on real
+            # hosts (this is the dominant host cost of the gcsh ladder).
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(len(bucket_pairs), os.cpu_count() or 1)
+            if workers > 1:
+                with ThreadPoolExecutor(workers) as ex:
+                    handles = list(
+                        ex.map(
+                            lambda ab: native.DomainHandle(
+                                ab[0], ab[1], k=self.domain_k, r=self.domain_r
+                            ),
+                            bucket_pairs,
+                        )
+                    )
+            else:
+                handles = [
+                    native.DomainHandle(a, b, k=self.domain_k, r=self.domain_r)
+                    for a, b in bucket_pairs
+                ]
+        else:
+            handles = [_GapDomainProvider(a, b) for a, b in bucket_pairs]
+        try:
+            f = np.array([max(h.h0, 2 * W) for h in handles], np.int64)
+            pending = list(range(B0))
+            for _ in range(self.max_f_rounds):
+                scheds = {}
+                sw_need = 1
+                quantum = 32
+                for slot in pending:
+                    ps = None
+                    while ps is None:
+                        dom = handles[slot].sample(int(f[slot]), step)
+                        ps = domain_schedule(dom)
+                        if ps is None:
+                            # Empty domain: certainly dist > f.
+                            f[slot] += max(f[slot] // 4, 64)
+                    scheds[slot] = ps
+                    sw_need = max(sw_need, ps.band_words)
+                    quantum = min(quantum, ps.quantum)
+                # Quantize the band so the jit cache sees few distinct
+                # kernels (pow2 up to 64, then multiples of 64).
+                sw = sw_need
+                if sw <= 64:
+                    p = 4
+                    while p < sw:
+                        p *= 2
+                    sw = p
+                else:
+                    sw = -(-sw // 64) * 64
+                sw = min(sw, S)
+                ck_mode = results is not None
+                if sw >= S or (ck_mode and _select_pp(B, sw, max_pp=1024) < 128):
+                    break  # band no longer thin; plain ladder is better
+                sched_arr = np.zeros((n_max, B), np.uint8)
+                for slot in pending:
+                    sc = scheds[slot].sched
+                    sched_arr[: len(sc), slot] = sc
+                got = self._domain_kernel(
+                    a0, a1, pb0, pb1, n, m, sw, sched_arr, quantum,
+                    want_ck=results is not None,
+                )
+                if results is None:
+                    costs = np.asarray(got)[:B0]
+                else:
+                    costs_dev, ckvp, ckvm, cktv = got
+                    costs = np.asarray(costs_dev)[:B0]
+                stats.cells_computed += n_max * sw * W * len(pending)
+                done = [
+                    slot for slot in pending
+                    if costs[slot] <= f[slot] and costs[slot] < INF // 2
+                ]
+                if done and results is not None:
+                    sel = np.asarray(done)
+                    ckvp_h = np.asarray(ckvp[:, :, sel])
+                    ckvm_h = np.asarray(ckvm[:, :, sel])
+                    cktv_h = np.asarray(cktv[:, sel])
+                    # Must mirror _banded_call's effective (Q-rounded) CB.
+                    CB = min(max(1024, sw), max(n_max, 1))
+                    CB = max(quantum, CB // quantum * quantum)
+                    for pos, slot in enumerate(done):
+                        i = idxs[slot]
+                        a, b = pairs[i]
+                        sc = np.ascontiguousarray(
+                            scheds[slot].sched, np.int32
+                        )
+                        cost, cigar = native.trace_banded_ck(
+                            a, b, S, ckvp_h[:, :, pos], ckvm_h[:, :, pos],
+                            cktv_h[:, pos], sc, sw, CB,
+                        )
+                        assert cost == costs[slot], (cost, costs[slot])
+                        results[i] = (cost, cigar)
+                for slot in done:
+                    out[idxs[slot]] = int(costs[slot])
+                pending = [s for s in pending if s not in set(done)]
+                if not pending:
+                    return
+                stats.band_retries += 1
+                for slot in pending:
+                    ub = int(costs[slot])
+                    nxt = max(int(f[slot] * 5 // 4) + 1, f[slot] + 64)
+                    if ub < INF // 2:
+                        nxt = max(nxt, ub)
+                    f[slot] = nxt
+            # Ladder exhausted / band grew past usefulness: finish the
+            # stragglers on the always-converging plain path.
+            rest = [idxs[s] for s in pending]
+            if results is None:
+                self._run_bucket(pairs, rest, out, stats)
+            else:
+                self._align_bucket_ck(pairs, rest, results, stats)
+                for i in rest:
+                    out[i] = results[i][0]
+        finally:
+            for h in handles:
+                h.close()
+
+    def _domain_kernel(self, a0, a1, pb0, pb1, n, m, sw, sched_arr, quantum,
+                       want_ck):
+        import jax
+
+        from ..ops import banded
+
+        B = a0.shape[1]
+        pp = _select_pp(B, sw, max_pp=1024 if want_ck else 2048)
+        on_tpu = jax.default_backend() == "tpu" or self.pallas_interpret
+        if want_ck:
+            from ..ops.pallas_banded import banded_ck_tpu
+
+            assert on_tpu and pp >= 128
+            n_max = a0.shape[0]
+            CB = min(max(1024, sw), max(n_max, 1))
+            return banded_ck_tpu(
+                a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
+                pairs_per_program=pp, interpret=self.pallas_interpret,
+                schedule=sched_arr, schedule_quantum=quantum,
+            )
+        if on_tpu and pp >= 128:
+            from ..ops.pallas_banded import banded_cost_tpu
+
+            return banded_cost_tpu(
+                a0, a1, pb0, pb1, n, m, band_words=sw, pairs_per_program=pp,
+                interpret=self.pallas_interpret, schedule=sched_arr,
+                schedule_quantum=quantum,
+            )
+        return banded.banded_cost_pp(
+            a0, a1, pb0, pb1, n, m, sched_arr, band_words=sw
+        )
 
     def _kernel(self, a0, a1, pb0, pb1, n, m, sw: int, S: int):
         """Dispatch the banded cost kernel: single device, or `shard_map`
@@ -227,9 +460,16 @@ class BatchAligner:
                 results[idx] = (len(a) + len(b), _trivial_cigar(a, b))
             else:
                 todo.append(idx)
+        outc = np.full(len(pairs), -1, dtype=np.int64)
         for bucket in _buckets(pairs, todo):
             stats.buckets += 1
-            self._align_bucket_ck(pairs, bucket, results, stats)
+            mode = self._resolve_domain_mode(pairs, bucket, want_cigars=True)
+            if mode:
+                self._domain_ladder(
+                    pairs, bucket, outc, stats, results=results, mode=mode
+                )
+            else:
+                self._align_bucket_ck(pairs, bucket, results, stats)
         stats.aligned_bp = sum(len(a) for a, _ in pairs)
         return results, stats
 
@@ -383,6 +623,25 @@ class BatchAligner:
             assert cost == c, f"device cost {c} != trace cost {cost}"
             results.append((cost, cigar))
         return results
+
+
+class _GapDomainProvider:
+    """Heuristic-free domain provider: the cost-f parallelogram (closed
+    form, no host build cost).  Same interface as native.DomainHandle."""
+
+    def __init__(self, a: bytes, b: bytes):
+        self.n, self.m = len(a), len(b)
+        # First-round f: the gap bound plus a small divergence allowance
+        # (~6%); the feedback ladder converges from either side.
+        self.h0 = abs(self.m - self.n) + max(self.n, 1) // 16
+
+    def sample(self, f_max: int, step: int = 64):
+        from ..domain import gap_domain
+
+        return gap_domain(self.n, self.m, f_max, step)
+
+    def close(self) -> None:
+        pass
 
 
 def _trivial_cigar(a: bytes, b: bytes) -> Cigar:

@@ -194,20 +194,39 @@ static std::vector<Match> find_matches(const uint8_t* a, i32 n,
     for (i32 d = -1; d <= 1; d++) tab[d + 1].build_sliding(b, m, k + d);
     std::vector<u64> dels, subs, ins;
     i32 num_seeds = (n >= k) ? (n - k) / k + 1 : 0;
+    // Gather all (key, seed, cost) queries per table, then sort-merge
+    // against the sorted q-gram entries: one linear pass instead of ~8k
+    // binary searches per seed (the r=2 hot path at long reads).
+    struct Qry {
+      u64 w;
+      i32 s;
+      i32 cost;
+    };
+    std::vector<Qry> queries[3];
     for (i32 s = num_seeds - 1; s >= 0; s--) {
-      i32 start = s * k, end = start + k;
+      i32 start = s * k;
       u64 q = qgram_of(a + start, k);
-      auto push_all = [&](const QgramIndex& t, u64 w, i32 dj, i32 cost) {
-        t.lookup(w, [&](i32 j) {
-          Match mt{{start, j}, {end, j + dj}, cost, 2};
-          if (keep(mt)) out.push_back(mt);
-        });
-      };
-      push_all(tab[1], q, k, 0);
+      queries[1].push_back({q, s, 0});
       mutations(k, q, dels, subs, ins);
-      for (u64 w : dels) push_all(tab[0], w, k - 1, 1);
-      for (u64 w : subs) push_all(tab[1], w, k, 1);
-      for (u64 w : ins) push_all(tab[2], w, k + 1, 1);
+      for (u64 w : dels) queries[0].push_back({w, s, 1});
+      for (u64 w : subs) queries[1].push_back({w, s, 1});
+      for (u64 w : ins) queries[2].push_back({w, s, 1});
+    }
+    for (i32 t = 0; t < 3; t++) {
+      auto& qs = queries[t];
+      std::sort(qs.begin(), qs.end(),
+                [](const Qry& x, const Qry& y) { return x.w < y.w; });
+      const auto& es = tab[t].entries;
+      i32 dj = k + (t - 1);
+      size_t ei = 0;
+      for (const Qry& qr : qs) {
+        while (ei < es.size() && es[ei].first < qr.w) ei++;
+        for (size_t e = ei; e < es.size() && es[e].first == qr.w; e++) {
+          i32 start = qr.s * k, j = es[e].second;
+          Match mt{{start, j}, {start + k, j + dj}, qr.cost, 2};
+          if (keep(mt)) out.push_back(mt);
+        }
+      }
     }
   }
   // Sort + dedup keeping lowest cost (`matches.rs:300-332`).
@@ -1110,6 +1129,174 @@ int astarpa_gcsh(const uint8_t* a, int n, const uint8_t* b, int m, int r,
 }
 
 void astarpa_free(char* p) { free(p); }
+
+// Static forward+reverse GCSH domain (the heuristic-restricted computation
+// of the reference — `astarpa2/src/domain.rs:117-235` — re-shaped for a
+// device band: instead of using DP values g(u) (which would need a
+// device round-trip per block), g is lower-bounded by a *reverse* GCSH
+// built on the reversed sequences, so the whole domain
+//   D(f_max) = { (i,j) : h_rev(i,j) + h_fwd(i,j) <= f_max }
+// is computable up front.  Every cell of any path with cost <= f_max lies
+// in D (both heuristics are admissible), so a banded DP covering D is
+// exact whenever its result is <= f_max.
+//
+// Sampled every `step` columns with target f_max + 2*step: consistency
+// (|f| changes <= 2 per unit step in i or j) makes the sample intervals
+// cover all columns within +-step, and jumps of ceil((f-target)/2) rows
+// can never skip an in-target cell, so out_lo/out_hi are the exact
+// interval hull per sampled column.
+//
+// out_lo/out_hi: n_samples = n/step + 2 entries for columns
+// (0, step, 2*step, ..., n).  h0_out: h_fwd(0,0), the f-ladder start.
+// Returns 0, or -1 if a sampled column's domain is empty (f_max too
+// small; retry with a larger f_max).
+// Block DP backend for the astarpa2 host driver (`blocks.rs:686-748`,
+// `simd.rs:326-437` roles): one Myers uint32 column chain per column with
+// top h inputs and bottom h outputs.  Bit-identical to
+// astarpa_tpu/ops/myers.py::step_word / block_kernel's jnp scans; the
+// native path removes the per-block host<->device round trip that capped
+// the parity tests at ~3kbp.
+extern "C" void block_compute(const uint32_t* a0, const uint32_t* a1,
+                              int ncols, const uint32_t* pb0,
+                              const uint32_t* pb1, int nwords, uint32_t* vp,
+                              uint32_t* vm, uint32_t* hp_io,
+                              uint32_t* hm_io) {
+  for (i32 c = 0; c < ncols; c++) {
+    u32 ca0 = a0[c], ca1 = a1[c];
+    u32 hp = hp_io[c], hm = hm_io[c];
+    for (i32 w = 0; w < nwords; w++) {
+      u32 eq = (ca0 ^ pb0[w]) & (ca1 ^ pb1[w]);
+      u32 vpw = vp[w], vmw = vm[w];
+      u32 vx = eq | vmw;
+      u32 eq2 = eq | hm;
+      u32 hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2;
+      u32 hpo = vmw | ~(hx | vpw);
+      u32 hmo = vpw & hx;
+      u32 hp_next = hpo >> 31, hm_next = hmo >> 31;
+      hpo = (hpo << 1) | hp;
+      hmo = (hmo << 1) | hm;
+      vp[w] = hmo | ~(vx | hpo);
+      vm[w] = hpo & vx;
+      hp = hp_next;
+      hm = hm_next;
+    }
+    hp_io[c] = hp;
+    hm_io[c] = hm;
+  }
+}
+
+// Fill variant: stores the v planes after every column (row-major
+// (ncols, nwords)).
+extern "C" void block_fill(const uint32_t* a0, const uint32_t* a1, int ncols,
+                           const uint32_t* pb0, const uint32_t* pb1,
+                           int nwords, uint32_t* vp, uint32_t* vm,
+                           const uint32_t* hp_in, const uint32_t* hm_in,
+                           uint32_t* vp_cols, uint32_t* vm_cols) {
+  for (i32 c = 0; c < ncols; c++) {
+    u32 ca0 = a0[c], ca1 = a1[c];
+    u32 hp = hp_in[c], hm = hm_in[c];
+    for (i32 w = 0; w < nwords; w++) {
+      u32 eq = (ca0 ^ pb0[w]) & (ca1 ^ pb1[w]);
+      u32 vpw = vp[w], vmw = vm[w];
+      u32 vx = eq | vmw;
+      u32 eq2 = eq | hm;
+      u32 hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2;
+      u32 hpo = vmw | ~(hx | vpw);
+      u32 hmo = vpw & hx;
+      u32 hp_next = hpo >> 31, hm_next = hmo >> 31;
+      hpo = (hpo << 1) | hp;
+      hmo = (hmo << 1) | hm;
+      vp[w] = hmo | ~(vx | hpo);
+      vm[w] = hpo & vx;
+      hp = hp_next;
+      hm = hm_next;
+    }
+    memcpy(vp_cols + (size_t)c * nwords, vp, (size_t)nwords * 4);
+    memcpy(vm_cols + (size_t)c * nwords, vm, (size_t)nwords * 4);
+  }
+}
+
+namespace {
+
+struct DomainHandle {
+  GCSHInstance hf, hr;
+  i32 n, m, h0;
+};
+
+}  // namespace
+
+// Build the fwd+rev instances once per pair; sampling at successive f_max
+// values (the f ladder) reuses them.  Returns an opaque handle.
+extern "C" void* gcsh_domain_new(const uint8_t* a, int n, const uint8_t* b,
+                                 int m, int k, int r, int32_t* h0_out) {
+  auto* h = new DomainHandle();
+  h->n = n;
+  h->m = m;
+  h->hf.build(a, n, b, m, k, r, /*prune_mode=*/0, /*gap=*/true);
+  std::vector<uint8_t> ra(a, a + n), rb(b, b + m);
+  std::reverse(ra.begin(), ra.end());
+  std::reverse(rb.begin(), rb.end());
+  h->hr.build(ra.data(), n, rb.data(), m, k, r, /*prune_mode=*/0, /*gap=*/true);
+  u32 hint = HintContours::HINT_NONE;
+  h->h0 = h->hf.h_with_hint(Pos{0, 0}, hint);
+  if (h0_out) *h0_out = h->h0;
+  return h;
+}
+
+extern "C" void gcsh_domain_del(void* hp) {
+  delete static_cast<DomainHandle*>(hp);
+}
+
+// Sample the interval hull of D(f_max) at columns (0, step, ..., n):
+// n/step + 2 entries.  Returns 0, or -1 if a sampled column is empty
+// (f_max certainly below the true distance; retry larger).
+extern "C" int gcsh_domain_sample(void* hp, int f_max, int step,
+                                  int32_t* out_lo, int32_t* out_hi) {
+  auto* h = static_cast<DomainHandle*>(hp);
+  i32 n = h->n, m = h->m;
+  u32 hint_f = HintContours::HINT_NONE, hint_r = HintContours::HINT_NONE;
+  auto f = [&](i32 i, i32 j) -> i64 {
+    i64 vf = h->hf.h_with_hint(Pos{i, j}, hint_f);
+    i64 vr = h->hr.h_with_hint(Pos{n - i, m - j}, hint_r);
+    return vf + vr;
+  };
+  i64 target = (i64)f_max + 2 * step;
+  i32 ns = n / step + 2;
+  for (i32 s = 0; s < ns; s++) {
+    i32 i = std::min(s * step, n);
+    // Lowest j with f <= target: jump down from 0; a jump of
+    // ceil((f - target)/2) rows cannot skip an in-target cell
+    // (consistency: |f| changes <= 2 per unit j).
+    i64 jmin = 0;
+    while (jmin <= m) {
+      i64 fv = f(i, (i32)jmin);
+      if (fv <= target) break;
+      jmin += (fv - target + 1) / 2;
+    }
+    if (jmin > m) return -1;
+    // Highest j with f <= target: jump up from m.
+    i64 jmax = m;
+    while (jmax >= jmin) {
+      i64 fv = f(i, (i32)jmax);
+      if (fv <= target) break;
+      jmax -= (fv - target + 1) / 2;
+    }
+    if (jmax < jmin) return -1;
+    out_lo[s] = (i32)jmin;
+    out_hi[s] = (i32)jmax;
+  }
+  return 0;
+}
+
+extern "C" int gcsh_domain(const uint8_t* a, int n, const uint8_t* b, int m,
+                           int k, int r, int f_max, int step,
+                           int32_t* out_lo, int32_t* out_hi,
+                           int32_t* h0_out) {
+  void* h = gcsh_domain_new(a, n, b, m, k, r, h0_out);
+  int rc = gcsh_domain_sample(h, f_max, step, out_lo, out_hi);
+  gcsh_domain_del(h);
+  return rc;
+}
 
 namespace {
 

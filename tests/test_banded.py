@@ -161,6 +161,85 @@ def test_pallas_banded_parity_interpret():
         assert (ref == got).all(), sw
 
 
+def test_perpair_schedule_matches_shared():
+    """A per-pair schedule equal to the bucket schedule must reproduce the
+    shared-schedule kernel bit-for-bit (same boundary conditions)."""
+    pairs = _mixed_pairs(11, count=12)
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=8)
+    a0, a1, pb0, pb1, n, m = args
+    n_max, S = a0.shape[0], pb0.shape[0]
+    B = a0.shape[1]
+    for sw in (4, 16):
+        shared = np.asarray(banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw))
+        sched = np.broadcast_to(
+            banded.shift_at_array(n_max, S, sw)[:, None], (n_max, B)
+        ).astype(np.uint8)
+        pp = np.asarray(
+            banded.banded_cost_pp(a0, a1, pb0, pb1, n, m, sched, band_words=sw)
+        )
+        assert (shared == pp).all(), sw
+
+
+def test_pair_gap_schedule_certified_exact():
+    """Gap-centered per-pair schedules: accepted results (cost <= SW*W-4W)
+    equal the oracle, including length-skewed pairs the shared bucket
+    schedule cannot certify."""
+    pairs = _mixed_pairs(31, count=12) + [
+        (b"ACGT" * 30, b"ACGT" * 60),      # m = 2n skew
+        (b"ACGT" * 60, b"ACGT" * 25),      # n > m skew
+    ]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=8)
+    a0, a1, pb0, pb1, n, m = args
+    n_max, S = a0.shape[0], pb0.shape[0]
+    expected = [oracle.levenshtein(a, b) for a, b in pairs]
+    accepted_any = np.zeros(B0, dtype=bool)
+    for sw in (4, 8, 16, 32):
+        sw = min(sw, S)
+        sched, thr = banded.pair_gap_schedule(
+            np.asarray(n)[:B0], np.asarray(m)[:B0], sw, n_max, S
+        )
+        full = np.zeros((n_max, a0.shape[1]), np.uint8)
+        full[:, :B0] = sched
+        got = np.asarray(
+            banded.banded_cost_pp(a0, a1, pb0, pb1, n, m, full, band_words=sw)
+        )[:B0]
+        ok = got <= thr
+        for g, e, o in zip(got, expected, ok):
+            assert g >= e
+            if o:
+                assert g == e
+        accepted_any |= ok
+    assert accepted_any.all()
+
+
+def test_pallas_perpair_parity_interpret():
+    """Pallas per-pair mode is bit-identical to the jnp per-pair reference
+    (gap-centered schedules, interpret mode)."""
+    from astarpa_tpu.ops.pallas_banded import banded_cost_tpu
+
+    pairs = [
+        generate.uniform_seeded(200 + (s * 31) % 150, [0.02, 0.1, 0.25][s % 3], 70 + s)
+        for s in range(128)
+    ]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=128)
+    a0, a1, pb0, pb1, n, m = args
+    n_max, S = a0.shape[0], pb0.shape[0]
+    for sw in (4, 8, 16):
+        sched, thr = banded.pair_gap_schedule(
+            np.asarray(n), np.asarray(m), sw, n_max, S
+        )
+        ref = np.asarray(
+            banded.banded_cost_pp(a0, a1, pb0, pb1, n, m, sched, band_words=sw)
+        )
+        got = np.asarray(
+            banded_cost_tpu(
+                a0, a1, pb0, pb1, n, m, band_words=sw,
+                pairs_per_program=128, interpret=True, schedule=sched,
+            )
+        )
+        assert (ref == got).all(), sw
+
+
 def test_batch_align_fill_native_trace():
     """Device fill pass + native banded traceback produces exact, verified
     CIGARs (skipped when no native toolchain)."""
