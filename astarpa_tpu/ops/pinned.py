@@ -1,0 +1,420 @@
+"""Pinned-word staggered banded kernel: the big-band cost path.
+
+The sliding-window kernel (:mod:`pallas_banded`) lays pairs on sublanes
+and lanes; at large bands VMEM forces few pairs per program and sublane
+utilization collapses (PP=128 -> 1/8 tiles).  This kernel transposes the
+layout: **words on sublanes, 128 pairs on lanes**, with v-state pinned to
+ABSOLUTE word indices — the window never slides, so there is no data
+movement on shifts at all.
+
+The intra-column h chain is broken by an anti-diagonal stagger: at step
+``t`` the resident word ``w`` processes column ``c = t - w``.  Its inputs
+are its own v state (step t-1, same word) and word ``w-1``'s h carry from
+step t-1 (same column) — one whole-array vector step per t, full sublane
+tiles at any band height (cf. the reference's SIMD stagger,
+`pa-bitpacking/src/simd.rs:98-226`, re-expressed for the VPU).
+
+Band boundaries become *event streams* precomputed on the host from the
+bucket schedule (events are one-per-step scalars, prefetched as SMEM bit
+masks):
+
+- enter: word w joins at the band bottom -> its v row resets to ONES,
+- absorb: word w leaves at the band top -> its value joins the running
+  top boundary sum (gated per pair on the pair still being alive),
+- top: the column's top word receives the +1 Ukkonen carry,
+- capture: at each pair's final column the still-banded words' masked
+  values accumulate (when-gated; only ~SW + length-spread steps fire).
+
+Words below the band bottom compute garbage harmlessly (h flows only
+downward; their v is reset on entry); words past the band top likewise.
+The computed region is therefore [lo(c), resident bottom) — a *superset*
+of the sliding kernel's band, so results are <= the sliding kernel's and
+the same certificates apply (`banded.band_threshold`).
+
+Residency: only ``RW ~ SW + O(TB * slope)`` words are resident; between
+time blocks the state compacts upward by a fixed stride D under a
+prefetched roll flag (static-shape grouped copies).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .banded import shift_at_array
+from .bitpack import W
+
+U32 = jnp.uint32
+_ONES = 0xFFFFFFFF
+INF32 = 1 << 30
+
+
+def _pack_bits_np(flags: np.ndarray) -> np.ndarray:
+    out = np.zeros((len(flags) + 31) // 32, np.uint32)
+    idx = np.nonzero(flags)[0]
+    np.bitwise_or.at(out, idx >> 5, np.uint32(1) << (idx & 31).astype(np.uint32))
+    return out
+
+
+def _plan(n_max: int, S: int, SW: int, TB: int):
+    """Host-side stagger plan for the bucket schedule.
+
+    Returns a dict of event bit masks over staggered time, per-block word
+    bases/roll flags, and the residency RW.
+    """
+    shift = shift_at_array(n_max, S, SW)
+    lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int64)  # lo[c] pre-col? ->
+    lo = lo[1:]  # lo[c] = top word DURING column c (post-shift), len n_max
+    n_words_live = int(lo[-1]) + SW  # words 0 .. n_words_live-1 ever in band
+    w_ids = np.arange(n_words_live, dtype=np.int64)
+    # enter column: first c with lo[c] + SW > w  <=>  lo[c] >= w - SW + 1
+    enterc = np.searchsorted(lo, np.maximum(w_ids - SW + 1, 0), side="left")
+    # exit column: first c with lo[c] > w; n_max if never
+    exitc = np.searchsorted(lo, w_ids + 1, side="left")
+    enter_t = enterc + w_ids
+    absorb_t = exitc + w_ids  # only valid where exitc < n_max
+    T = int(n_max - 1 + n_words_live)  # last capture: t = n_max-1 + (last word)
+    T += 1
+
+    enter_bits = np.zeros(T, np.uint8)
+    enter_bits[enter_t] = 1
+    absorb_bits = np.zeros(T, np.uint8)
+    ab = absorb_t[exitc < n_max]
+    absorb_bits[ab] = 1
+    # top events: column c's top word lo[c] at t = c + lo[c]
+    top_t = np.arange(n_max, dtype=np.int64) + lo
+    top_bits = np.zeros(T, np.uint8)
+    top_bits[top_t] = 1
+
+    # Residency: active words at time t span [wmin(t), wmax(t)].
+    # wmax(t): words entered so far - 1; wmin(t): words absorbed so far.
+    entered = np.cumsum(enter_bits.astype(np.int64))
+    absorbed = np.cumsum(absorb_bits.astype(np.int64))
+    n_tb = -(-T // TB)
+    T_pad = n_tb * TB
+    wmax_blk = np.zeros(n_tb, np.int64)
+    wmin_blk = np.zeros(n_tb, np.int64)
+    for k in range(n_tb):
+        s, e = k * TB, min((k + 1) * TB, T)
+        wmax_blk[k] = entered[e - 1] - 1
+        wmin_blk[k] = absorbed[s] - 1 if s > 0 else 0
+        wmin_blk[k] = max(0, min(wmin_blk[k], wmax_blk[k]))
+    # Fixed-stride compaction: base advances by D under a per-block flag.
+    deltas = 1
+    if n_tb > 1:
+        deltas = max(
+            int(np.diff(wmax_blk).max(initial=1)),
+            int(np.diff(wmin_blk).max(initial=1)),
+            1,
+        )
+    D = max(8, -(-deltas // 8) * 8)
+    base = np.zeros(n_tb, np.int64)
+    roll = np.zeros(n_tb, np.uint8)  # roll at the START of block k
+    RW = 0
+    b = 0
+    for k in range(n_tb):
+        if k > 0:
+            b = base[k - 1]
+            # roll (possibly needed) so the block's max word fits
+            while wmax_blk[k] - b + 1 > 0 and wmin_blk[k] - b >= D:
+                b += D
+                roll[k] += 1
+        base[k] = b
+        RW = max(RW, int(wmax_blk[k] - b + 1))
+    assert (roll <= 1).all(), "block shifts exceed one compaction stride"
+    RW = -(-max(RW, D + 8) // 8) * 8
+    return dict(
+        shift=shift, lo=lo, T=T, T_pad=T_pad, n_tb=n_tb, TB=TB, D=D, RW=RW,
+        base=base.astype(np.int32), roll=roll.astype(np.int32),
+        enter_bits=_pack_bits_np(np.pad(enter_bits, (0, T_pad - T))),
+        absorb_bits=_pack_bits_np(np.pad(absorb_bits, (0, T_pad - T))),
+        top_bits=_pack_bits_np(np.pad(top_bits, (0, T_pad - T))),
+        n_words_live=n_words_live,
+    )
+
+
+def _pinned_kernel(
+    # scalar prefetch
+    enter_ref, absorb_ref, top_ref, cap_ref, base_ref, roll_ref,
+    # inputs (profile + char planes whole in HBM; windows DMA'd per block)
+    p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
+    # output
+    out_ref,
+    # scratch
+    vp, vm, aux, acc, tot, sc, p0v, p1v, axv, dma,
+    *, RW: int, TB: int, D: int, SW: int,
+):
+    k = pl.program_id(1)
+    p = pl.program_id(0)
+    lanes = 128
+
+    # Resident profile window [base_k, base_k + RW) and this block's char
+    # chunk [k*TB - base_k, ...+TB): one DMA each per block (the windows of
+    # consecutive blocks overlap almost entirely, so shipping pre-gathered
+    # slabs would duplicate the profile ~RW/D times).
+    base_k = base_ref[k]
+    cp0 = pltpu.make_async_copy(p0_ref.at[p, pl.ds(base_k, RW)], p0v, dma)
+    cp0.start()
+    cp1 = pltpu.make_async_copy(p1_ref.at[p, pl.ds(base_k, RW)], p1v, dma)
+    cax = pltpu.make_async_copy(
+        code_ref.at[p, pl.ds(k * TB - base_k, TB)], axv, dma
+    )
+    cp0.wait()
+    cp1.start()
+    cp1.wait()
+    cax.start()
+    cax.wait()
+
+    @pl.when(k == 0)
+    def _init():
+        vp[:] = jnp.full((RW, lanes), _ONES, U32)
+        vm[:] = jnp.zeros((RW, lanes), U32)
+        aux[:] = jnp.zeros((RW, lanes), U32)
+        acc[:] = jnp.zeros((RW, lanes), jnp.int32)
+        tot[:] = jnp.zeros((8, lanes), jnp.int32)
+        sc[0] = 0  # nextw   (next word to absorb == current top word)
+        sc[1] = 0  # nextent (next word to enter)
+
+    @pl.when((k > 0) & (roll_ref[k] > 0))
+    def _compact():
+        # Slots shift up by D; bottom D slots become fresh (v garbage is
+        # fine — they reset at their enter events); exiting acc flushes.
+        flushed = jnp.sum(acc[pl.ds(0, D)], axis=0)
+        tot[0] = tot[0] + flushed
+
+        def mv(g, _):
+            b = g * 8
+            vp[pl.ds(b, 8)] = vp[pl.ds(b + D, 8)]
+            vm[pl.ds(b, 8)] = vm[pl.ds(b + D, 8)]
+            aux[pl.ds(b, 8)] = aux[pl.ds(b + D, 8)]
+            acc[pl.ds(b, 8)] = acc[pl.ds(b + D, 8)]
+            return 0
+
+        jax.lax.fori_loop(0, (RW - D) // 8, mv, 0)
+        acc[pl.ds(RW - D, D)] = jnp.zeros((D, lanes), jnp.int32)
+
+    n = n_ref[0, 0]
+    m = m_ref[0, 0]
+    loend = loend_ref[0, 0]
+    pc = lambda x: jax.lax.population_count(x).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (RW, lanes), 0)
+
+    def bit(ref, t):
+        return (ref[t >> 5] >> (t & 31)) & 1 > 0
+
+    ngrp = RW // 8
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+
+    def step(tt, carry):
+        t = k * TB + tt
+
+        # -- absorb: the current top word's value joins the boundary sum
+        # (state after its last column = after step t-1), only for pairs
+        # still alive at that column (t - w <= n_p - 1).  Masked whole-
+        # array ops: dynamic sublane indexing is off the table on Mosaic.
+        @pl.when(bit(absorb_ref, t))
+        def _absorb():
+            s = sc[0] - base_k
+            alive = ((t - sc[0]) <= n - 1)[None, :]
+            sel = (iota == s) & alive
+            acc[:] = acc[:] + jnp.where(sel, pc(vp[:]) - pc(vm[:]), 0)
+            sc[0] = sc[0] + 1
+
+        # -- enter: the band bottom reaches a new word -> fresh v.
+        @pl.when(bit(enter_ref, t))
+        def _enter():
+            sel = iota == (sc[1] - base_k)
+            vp[:] = jnp.where(sel, U32(_ONES), vp[:])
+            vm[:] = jnp.where(sel, U32(0), vm[:])
+            sc[1] = sc[1] + 1
+
+        # -- one staggered step.  The char codes and h carries live packed
+        # in one `aux` array (bits 0-1 code, 2-3 carry) that shifts down a
+        # word per step; the shift + Myers update run fused per 8-word
+        # group (descending, so each group reads its upper neighbor before
+        # it is overwritten) — intermediates stay in registers instead of
+        # round-tripping (RW, 128) temporaries through VMEM per op.
+        top_now = bit(top_ref, t)
+        s_top = sc[0] - base_k
+        new0 = axv[tt]
+
+        def group(up, b8):
+            sel_top = top_now & ((iota8 + b8) == s_top)
+            auxg = jnp.where(sel_top, (up & U32(3)) | U32(4), up)
+            code = auxg & 3
+            hp = (auxg >> 2) & 1
+            hm = auxg >> 3
+            a0m = jnp.zeros((8, lanes), U32) - (code & 1)
+            a1m = jnp.zeros((8, lanes), U32) - (code >> 1)
+            eqg = (a0m ^ p0v[pl.ds(b8, 8)]) & (a1m ^ p1v[pl.ds(b8, 8)])
+            vpw = vp[pl.ds(b8, 8)]
+            vmw = vm[pl.ds(b8, 8)]
+            vx = eqg | vmw
+            eq2 = eqg | hm
+            hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+            hpo = vmw | ~(hx | vpw)
+            hmo = vpw & hx
+            hp_n = hpo >> (W - 1)
+            hm_n = hmo >> (W - 1)
+            hpo = (hpo << 1) | hp
+            hmo = (hmo << 1) | hm
+            vp[pl.ds(b8, 8)] = hmo | ~(vx | hpo)
+            vm[pl.ds(b8, 8)] = hpo & vx
+            aux[pl.ds(b8, 8)] = code | (hp_n << 2) | (hm_n << 3)
+            return 0
+
+        # Full unrolling of the group loop compiles for minutes at real
+        # band sizes; the dynamic-offset fori is within ~15% of it.
+        def grp_body(i, c):
+            g = (ngrp - 1) - i
+            b8 = g * 8
+            group(aux[pl.ds(b8 - 1, 8)], b8)
+            return c
+
+        jax.lax.fori_loop(0, ngrp - 1, grp_body, 0)
+        group(jnp.concatenate([new0[None], aux[pl.ds(0, 7)]], 0), 0)
+
+        # -- capture at each pair's final column (rare; when-gated): the
+        # word on the capture diagonal adds its masked value.
+        @pl.when(bit(cap_ref, t))
+        def _capture():
+            w_abs = iota + base_k
+            on_diag = w_abs == (t + 1) - n[None, :]
+            in_band = (w_abs >= loend[None, :]) & (w_abs < loend[None, :] + SW)
+            rows = m[None, :] - w_abs * W
+            full = jnp.clip(rows, 0, W)
+            mask = jnp.where(
+                full >= W, U32(_ONES), (U32(1) << full.astype(U32)) - U32(1)
+            )
+            sel = on_diag & in_band
+            acc[:] = acc[:] + jnp.where(sel, pc(vp[:] & mask) - pc(vm[:] & mask), 0)
+
+        return carry
+
+    jax.lax.fori_loop(0, TB, step, 0)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        out_ref[0, 0] = tot[0] + jnp.sum(acc[:], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pinned_call(RW, TB, D, SW, ntiles, n_tb, interpret):
+    """jit-cached pallas caller per static geometry (re-tracing the pallas
+    closure every call costs ~0.5s of host time otherwise)."""
+    kernel = functools.partial(_pinned_kernel, RW=RW, TB=TB, D=D, SW=SW)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(ntiles, n_tb),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p0 (ntiles, S_pad, 128)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p1
+                pl.BlockSpec(memory_space=pltpu.ANY),  # code (ntiles, C_pad, 128)
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((RW, 128), jnp.uint32),
+                pltpu.VMEM((RW, 128), jnp.uint32),
+                pltpu.VMEM((RW, 128), jnp.uint32),
+                pltpu.VMEM((RW, 128), jnp.int32),
+                pltpu.VMEM((8, 128), jnp.int32),
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.VMEM((RW, 128), jnp.uint32),
+                pltpu.VMEM((RW, 128), jnp.uint32),
+                pltpu.VMEM((TB, 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ntiles, 1, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def pinned_cost_tpu(
+    a0, a1, pb0, pb1, n, m, band_words: int, time_block: int = 1024,
+    interpret: bool = False,
+):
+    """Big-band banded edit distances, pinned-word staggered layout.
+
+    Same contract as :func:`pallas_banded.banded_cost_tpu` with the shared
+    bucket schedule, except the computed region extends to the residency
+    bottom (a superset of the SW band), so results are <= the sliding
+    kernel's and the same `band_threshold` certificate applies.
+    B must be a multiple of 128; one program handles 128 pairs.
+    """
+    n_max, B = a0.shape
+    S = pb0.shape[0]
+    SW = min(band_words, S)
+    assert B % 128 == 0
+    ntiles = B // 128
+
+    plan = _plan(n_max, S, SW, time_block)
+    RW, TB, D, n_tb, T_pad = plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
+    base = plan["base"]
+
+    # Per-pair capture window: t in [n_p - 1 + lo(n_p-1), n_p - 1 + lo + SW).
+    n_np = np.asarray(n).astype(np.int64)
+    m_np = np.asarray(m).astype(np.int64)
+    lo = plan["lo"]
+    loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
+    cap_bits = np.zeros(T_pad, np.uint8)
+    for p in range(B):
+        if n_np[p] <= 0:
+            continue
+        t0 = int(n_np[p] - 1 + loend[p])
+        t1 = min(int(n_np[p] - 1 + loend[p] + SW), T_pad)
+        cap_bits[t0:t1] = 1
+
+    # Whole profile planes padded so every [base_k, base_k + RW) window is
+    # in bounds (pad rows replicate the S-1 clamp, matching the sliding
+    # kernel's entering-word clamp), and whole char-code planes padded so
+    # every block's [k*TB - base_k, +TB) chunk is in bounds.
+    S_pad = int(base.max(initial=0)) + RW
+    pb0_np = np.asarray(pb0)
+    pb1_np = np.asarray(pb1)
+    if S_pad > S:
+        pb0_np = np.concatenate(
+            [pb0_np, np.broadcast_to(pb0_np[-1], (S_pad - S, B)).copy()], 0
+        )
+        pb1_np = np.concatenate(
+            [pb1_np, np.broadcast_to(pb1_np[-1], (S_pad - S, B)).copy()], 0
+        )
+    code = ((np.asarray(a0) & 1) | ((np.asarray(a1) & 1) << 1)).astype(np.uint32)
+    C_pad = T_pad
+    if C_pad > n_max:
+        code = np.concatenate(
+            [code, np.zeros((C_pad - n_max, B), np.uint32)], 0
+        )
+
+    out = _pinned_call(RW, TB, D, SW, ntiles, n_tb, interpret)(
+        jnp.asarray(plan["enter_bits"]),
+        jnp.asarray(plan["absorb_bits"]),
+        jnp.asarray(plan["top_bits"]),
+        jnp.asarray(_pack_bits_np(cap_bits)),
+        jnp.asarray(plan["base"]),
+        jnp.asarray(plan["roll"]),
+        jnp.asarray(np.moveaxis(pb0_np.reshape(S_pad, ntiles, 128), 1, 0)),
+        jnp.asarray(np.moveaxis(pb1_np.reshape(S_pad, ntiles, 128), 1, 0)),
+        jnp.asarray(np.moveaxis(code.reshape(C_pad, ntiles, 128), 1, 0)),
+        jnp.asarray(np.asarray(n, np.int32)).reshape(ntiles, 1, 128),
+        jnp.asarray(np.asarray(m, np.int32)).reshape(ntiles, 1, 128),
+        jnp.asarray(loend.astype(np.int32)).reshape(ntiles, 1, 128),
+    )
+    res = out.reshape(B) + jnp.asarray(n_np.astype(np.int32))
+    # The band must still cover row m at each pair's final column.
+    covered = (m_np - loend * W) <= SW * W
+    return jnp.where(jnp.asarray(covered), res, INF32)

@@ -674,18 +674,50 @@ def _select_pp(B: int, sw: int, max_pp: int = 4096) -> int:
 LAST_KERNEL = None
 
 
+#: Opt-in: route bands in [MIN, MAX] words to the pinned-word staggered
+#: kernel (ops/pinned.py) instead of the sliding pairs-tile kernel.
+#: Status: the pinned kernel is exact (oracle + vs-sliding tested) and
+#: hits ~0.9 Tcells/s at ~550 resident words, but its per-step cost
+#: currently grows superlinearly with residency (the dynamic-offset group
+#: loop), so at real big-band sizes the sliding kernel still wins —
+#: disabled by default until that is fixed.
+PINNED_ENABLED = False
+PINNED_MIN_SW = 640
+PINNED_MAX_SW = 1280
+
+
 def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
     """Per-device kernel selection: Pallas whenever this shard's batch
     supports a >=128-pair program on a TPU backend (or interpret mode is
-    forced); bit-identical jnp formulation otherwise."""
+    forced); bit-identical jnp formulation otherwise.  Large shared bands
+    use the pinned staggered kernel (results <= the sliding kernel's and
+    certified by the same thresholds, so acceptance logic is unchanged)."""
     import jax
 
     from ..ops import banded
 
     global LAST_KERNEL
     B = a0.shape[1]
+    on_tpu = jax.default_backend() == "tpu"
+    if (
+        PINNED_ENABLED
+        and on_tpu
+        and not interpret
+        and PINNED_MIN_SW <= sw <= PINNED_MAX_SW
+        and B % 128 == 0
+        and not isinstance(a0, jax.core.Tracer)
+    ):
+        from ..ops.pinned import pinned_cost_tpu
+
+        LAST_KERNEL = "pinned"
+        import numpy as np_
+
+        return pinned_cost_tpu(
+            np_.asarray(a0), np_.asarray(a1), np_.asarray(pb0),
+            np_.asarray(pb1), np_.asarray(n), np_.asarray(m), band_words=sw,
+        )
     pp = _select_pp(B, sw)
-    use_pallas = pp >= 128 and (jax.default_backend() == "tpu" or interpret)
+    use_pallas = pp >= 128 and (on_tpu or interpret)
     LAST_KERNEL = "pallas" if use_pallas else "jnp"
     if use_pallas:
         from ..ops.pallas_banded import banded_cost_tpu

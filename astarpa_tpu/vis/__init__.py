@@ -57,6 +57,11 @@ class VisConfig:
     cell_size: int = 2
     downscaler: int = 1  # positions per pixel
     filepath_prefix: str = "frame"
+    # Extra panels (`visualizer.rs:1265-1281` layer drawing, `:1608`
+    # draw_dt, `:1798` draw_f):
+    draw_contours: bool = False  # contour layer boundaries + matches
+    draw_dt: bool = False        # (diagonal, g) DT-space panel
+    draw_f: bool = False         # f-profile along the expansion frontier
 
     def build(self, a: bytes, b: bytes) -> "VisualizerInstance":
         return VisualizerInstance(a, b, self)
@@ -90,6 +95,9 @@ class VisualizerInstance:
         self.frame_idx = 0
         self.layer_idx = 0
         self.path: list[Pos] | None = None
+        self.dt_states: list[tuple[int, int]] = []  # (diagonal, g)
+        self.f_profile: dict[int, int] = {}  # i // d -> max f seen
+        self._h = None  # heuristic instance, captured at last_frame
 
     # -- state stream (`pa-vis/src/lib.rs:33-112`) -----------------------------
 
@@ -105,6 +113,11 @@ class VisualizerInstance:
 
     def expand(self, pos: Pos, g=0, f=0, h=None) -> None:
         self._mark(pos, 3)
+        if self.config.draw_dt:
+            self.dt_states.append((pos.i - pos.j, int(g)))
+        if self.config.draw_f:
+            x = pos.i // self.d
+            self.f_profile[x] = max(self.f_profile.get(x, 0), int(f))
         if self.config.draw == When.ALL:
             self._save_frame()
 
@@ -147,27 +160,106 @@ class VisualizerInstance:
     def last_frame(self, cigar: Cigar | None = None, h=None) -> None:
         if cigar is not None:
             self.path = cigar.to_path()
+        self._h = h
         if self.config.draw != When.NONE:
             self._save_frame(final=True)
 
     # -- rendering ----------------------------------------------------------------
 
     def render(self) -> np.ndarray:
-        """RGB image of the current state."""
+        """RGB image of the current state (+ optional panels)."""
         cs = max(1, self.config.cell_size)
         img = np.empty((self.h, self.w, 3), dtype=np.uint8)
         img[:] = _BG
         img[self.grid == 1] = _EXPLORED
         img[self.grid == 2] = _EXTENDED
         img[self.grid == 3] = _EXPANDED
+        if self.config.draw_contours and self._h is not None:
+            self._draw_contours(img)
         if self.path is not None:
             for p in self.path:
                 x, y = p.i // self.d, p.j // self.d
                 if 0 <= x < self.w and 0 <= y < self.h:
                     img[y, x] = _PATH
+        panels = [img]
+        if self.config.draw_dt and self.dt_states:
+            panels.append(self._render_dt(img.shape[1]))
+        if self.config.draw_f and self.f_profile:
+            panels.append(self._render_f(img.shape[1]))
+        if len(panels) > 1:
+            width = max(p.shape[1] for p in panels)
+            padded = []
+            for p in panels:
+                if p.shape[1] < width:
+                    pad = np.full((p.shape[0], width - p.shape[1], 3), 230, np.uint8)
+                    p = np.concatenate([p, pad], axis=1)
+                padded.append(p)
+                padded.append(np.zeros((2, width, 3), np.uint8))  # separator
+            img = np.concatenate(padded[:-1], axis=0)
         if cs > 1:
             img = np.repeat(np.repeat(img, cs, axis=0), cs, axis=1)
         return img
+
+    def _draw_contours(self, img: np.ndarray) -> None:
+        """Contour layer boundaries of the heuristic's score function
+        (`visualizer.rs:1265-1281`): sample score(T(i, j)) on the grid and
+        tint cells where the layer changes; overlay active matches."""
+        h = self._h
+        if not hasattr(h, "contours") or not hasattr(h, "transform"):
+            return
+        step = max(1, min(self.w, self.h) // 256) * self.d
+        xs = range(0, len(self.a) + 1, step)
+        ys = range(0, len(self.b) + 1, step)
+        score = np.zeros((len(list(ys)), len(list(xs))), dtype=np.int32)
+        for yi, j in enumerate(ys):
+            for xi, i in enumerate(xs):
+                try:
+                    score[yi, xi] = h.contours.score(h.transform(Pos(i, j)))
+                except Exception:
+                    return
+        # Boundary where the layer value changes between neighbors.
+        bnd = np.zeros_like(score, dtype=bool)
+        bnd[:, 1:] |= score[:, 1:] != score[:, :-1]
+        bnd[1:, :] |= score[1:, :] != score[:-1, :]
+        for yi, xi in zip(*np.nonzero(bnd)):
+            x = xi * step // self.d
+            y = yi * step // self.d
+            if 0 <= x < self.w and 0 <= y < self.h:
+                img[y, x] = (255, 165, 0)  # orange layer boundary
+        if hasattr(h, "matches"):
+            try:
+                for mt in h.matches():
+                    for p in (mt.start, mt.end):
+                        x, y = p.i // self.d, p.j // self.d
+                        if 0 <= x < self.w and 0 <= y < self.h:
+                            img[y, x] = (200, 0, 0)
+            except Exception:
+                pass
+
+    def _render_dt(self, width: int) -> np.ndarray:
+        """(diagonal, g) panel of expanded states (`visualizer.rs:1608`)."""
+        ds = [d for d, _ in self.dt_states]
+        gs = [g for _, g in self.dt_states]
+        dmin, dmax = min(ds), max(ds)
+        gmax = max(gs)
+        hgt = min(200, gmax + 1)
+        panel = np.full((hgt, width, 3), 245, np.uint8)
+        for d, g in self.dt_states:
+            x = int((d - dmin) / max(1, dmax - dmin) * (width - 1))
+            y = int(g / max(1, gmax) * (hgt - 1))
+            panel[y, x] = _EXPANDED
+        return panel
+
+    def _render_f(self, width: int) -> np.ndarray:
+        """f-profile along i (`visualizer.rs:1798`)."""
+        fmax = max(self.f_profile.values())
+        hgt = 100
+        panel = np.full((hgt, width, 3), 245, np.uint8)
+        for x, f in self.f_profile.items():
+            if 0 <= x < width:
+                y = hgt - 1 - int(f / max(1, fmax) * (hgt - 1))
+                panel[y:, x] = (120, 120, 220)
+        return panel
 
     def _save_frame(self, final: bool = False) -> None:
         if self.config.save is None:

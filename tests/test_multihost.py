@@ -74,3 +74,57 @@ def test_runner_with_cigars(tmp_path):
     for (a, b), line in zip(pairs, lines):
         cost, cig = line.split(",", 1)
         assert Cigar.from_string(cig).verify(a, b) == int(cost) == oracle.levenshtein(a, b)
+
+
+def test_two_process_distributed_merge(tmp_path):
+    """Real jax.distributed: two OS processes on the CPU backend, each
+    aligning its stripe and merging stats over the global device mesh."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    port = 23467
+    script = tmp_path / "worker.py"
+    script.write_text(
+        """
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = ""
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+pid = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="127.0.0.1:%d",
+                           num_processes=2, process_id=pid)
+from astarpa_tpu import generate
+from astarpa_tpu.parallel.multihost import MultiHostRunner
+from astarpa_tpu.parallel.runner import BatchAligner
+pairs = [generate.uniform_seeded(60 + 7 * s, 0.1, s) for s in range(9)]
+runner = MultiHostRunner(BatchAligner(band_words=4, lane_multiple=8), batch_size=4)
+res = runner.run(pairs, out_path=sys.argv[2])
+print(json.dumps({"pid": pid, "local": res.local_pairs,
+                  "global": res.global_pairs, "gbp": res.global_bp}))
+""" % port
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(p), str(tmp_path / f"out{p}.csv")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for p in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+        outs.append(json.loads(out.decode().strip().splitlines()[-1]))
+    total_bp = sum(len(a) for a, _ in [
+        __import__("astarpa_tpu").generate.uniform_seeded(60 + 7 * s, 0.1, s)
+        for s in range(9)
+    ])
+    for o in outs:
+        assert o["global"] == 9
+        assert o["gbp"] == total_bp
+    assert outs[0]["local"] + outs[1]["local"] == 9

@@ -1,0 +1,70 @@
+"""Pinned-word staggered big-band kernel vs sliding kernel + oracle."""
+
+import numpy as np
+import pytest
+
+from astarpa_tpu import generate, oracle
+from astarpa_tpu.ops import banded
+from astarpa_tpu.ops.pallas_myers import pack_batch_staggered
+from astarpa_tpu.ops.pinned import pinned_cost_tpu
+
+
+def test_pinned_vs_sliding_and_oracle():
+    """The pinned kernel's band is a superset of the sliding kernel's:
+    results are <= the sliding kernel's, and certified results (cost <=
+    band_threshold) equal the oracle — the runner uses the same acceptance
+    logic for both kernels."""
+    pairs = [
+        generate.generate_model(
+            100 + (s * 29) % 150, [0.0, 0.05, 0.15, 0.3][s % 4],
+            list(generate.ErrorModel)[s % 4], 60 + s,
+        )
+        for s in range(128)
+    ]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=128)
+    a0, a1, pb0, pb1, n, m = args
+    n_max, S = a0.shape[0], pb0.shape[0]
+    exp = [oracle.levenshtein(a, b) for a, b in pairs]
+    certified_any = np.zeros(B0, bool)
+    for SW in (4, 12):
+        SW = min(SW, S)
+        got = np.asarray(
+            pinned_cost_tpu(
+                np.asarray(a0), np.asarray(a1), np.asarray(pb0),
+                np.asarray(pb1), np.asarray(n), np.asarray(m),
+                band_words=SW, time_block=128, interpret=True,
+            )
+        )
+        sld = np.asarray(banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=SW))
+        thr = banded.band_threshold(
+            SW, np.asarray(n)[:B0], np.asarray(m)[:B0], n_max, S * 32
+        )
+        ok = np.asarray(sld)[:B0] <= thr
+        for p in range(B0):
+            assert got[p] >= exp[p] or got[p] >= (1 << 30)
+            assert got[p] <= sld[p] or got[p] >= (1 << 30)
+            if ok[p]:
+                assert got[p] == exp[p], (SW, p, got[p], exp[p])
+        certified_any |= ok
+    assert certified_any.all()
+
+
+def test_pinned_compaction_path():
+    """Small time blocks force residency compaction between blocks."""
+    pairs = [generate.uniform_seeded(250, 0.1, 10 + s) for s in range(128)]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=128)
+    a0, a1, pb0, pb1, n, m = args
+    got = np.asarray(
+        pinned_cost_tpu(
+            np.asarray(a0), np.asarray(a1), np.asarray(pb0), np.asarray(pb1),
+            np.asarray(n), np.asarray(m), band_words=6, time_block=64,
+            interpret=True,
+        )
+    )
+    sld = np.asarray(banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=6))
+    thr = banded.band_threshold(
+        6, np.asarray(n)[:B0], np.asarray(m)[:B0], a0.shape[0], pb0.shape[0] * 32
+    )
+    for p in range(B0):
+        if sld[p] <= thr[p]:
+            assert got[p] == oracle.levenshtein(*pairs[p])

@@ -63,3 +63,26 @@ def test_novis_absorbs_everything():
     v.expand((0, 0), 0, 0)
     v.whatever_hook(1, 2, 3)
     v.new_layer()
+
+
+def test_visualizer_panels(tmp_path):
+    """Contour-layer, DT-space, and f-profile panels render
+    (`visualizer.rs:1265-1281,1608,1798` re-expressions)."""
+    v = VisConfig(
+        draw=When.LAST, save=str(tmp_path), cell_size=1,
+        draw_contours=True, draw_dt=True, draw_f=True,
+    )
+    aligner = AstarPa(
+        dt=False, h=GCSH(MatchConfig(k=8, r=1), Pruning(Prune.START)), v=v
+    )
+    a, b = generate.uniform_seeded(150, 0.12, 8)
+    (cost, cigar), _ = aligner.align_with_stats(a, b)
+    assert cost == oracle.levenshtein(a, b)
+    frames = list(tmp_path.glob("*.png"))
+    assert frames, "no frame written"
+    # The composed image must be taller than the grid alone (panels added).
+    inst = v.build(a, b)
+    inst.dt_states = [(0, 0), (3, 2)]
+    inst.f_profile = {0: 5, 3: 9}
+    img = inst.render()
+    assert img.shape[0] > (len(b) // inst.d + 2)
