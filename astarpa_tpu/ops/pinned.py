@@ -365,6 +365,11 @@ def pinned_cost_tpu(
     plan = _plan(n_max, S, SW, time_block)
     RW, TB, D, n_tb, T_pad = plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
     base = plan["base"]
+    # 6 RW-sized scratch/window arrays + the char chunk must fit VMEM.
+    if 6 * RW * 128 * 4 + 2 * TB * 128 * 4 > 13 * 2 ** 20:
+        raise ValueError(
+            f"pinned residency RW={RW} exceeds VMEM; use the sliding kernel"
+        )
 
     # Per-pair capture window: t in [n_p - 1 + lo(n_p-1), n_p - 1 + lo + SW).
     n_np = np.asarray(n).astype(np.int64)
@@ -382,22 +387,27 @@ def pinned_cost_tpu(
     # Whole profile planes padded so every [base_k, base_k + RW) window is
     # in bounds (pad rows replicate the S-1 clamp, matching the sliding
     # kernel's entering-word clamp), and whole char-code planes padded so
-    # every block's [k*TB - base_k, +TB) chunk is in bounds.
+    # every block's [k*TB - base_k, +TB) chunk is in bounds.  All prep on
+    # DEVICE (jnp): the packed inputs usually live there already, and a
+    # np.asarray on them is a device->host readback (~7 MB/s through the
+    # tunnel — this dominated the whole call before).
     S_pad = int(base.max(initial=0)) + RW
-    pb0_np = np.asarray(pb0)
-    pb1_np = np.asarray(pb1)
+    pb0j = jnp.asarray(pb0)
+    pb1j = jnp.asarray(pb1)
     if S_pad > S:
-        pb0_np = np.concatenate(
-            [pb0_np, np.broadcast_to(pb0_np[-1], (S_pad - S, B)).copy()], 0
+        pb0j = jnp.concatenate(
+            [pb0j, jnp.broadcast_to(pb0j[-1], (S_pad - S, B))], 0
         )
-        pb1_np = np.concatenate(
-            [pb1_np, np.broadcast_to(pb1_np[-1], (S_pad - S, B)).copy()], 0
+        pb1j = jnp.concatenate(
+            [pb1j, jnp.broadcast_to(pb1j[-1], (S_pad - S, B))], 0
         )
-    code = ((np.asarray(a0) & 1) | ((np.asarray(a1) & 1) << 1)).astype(np.uint32)
+    code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
+        jnp.uint32
+    )
     C_pad = T_pad
     if C_pad > n_max:
-        code = np.concatenate(
-            [code, np.zeros((C_pad - n_max, B), np.uint32)], 0
+        code = jnp.concatenate(
+            [code, jnp.zeros((C_pad - n_max, B), jnp.uint32)], 0
         )
 
     out = _pinned_call(RW, TB, D, SW, ntiles, n_tb, interpret)(
@@ -407,9 +417,9 @@ def pinned_cost_tpu(
         jnp.asarray(_pack_bits_np(cap_bits)),
         jnp.asarray(plan["base"]),
         jnp.asarray(plan["roll"]),
-        jnp.asarray(np.moveaxis(pb0_np.reshape(S_pad, ntiles, 128), 1, 0)),
-        jnp.asarray(np.moveaxis(pb1_np.reshape(S_pad, ntiles, 128), 1, 0)),
-        jnp.asarray(np.moveaxis(code.reshape(C_pad, ntiles, 128), 1, 0)),
+        jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
+        jnp.moveaxis(pb1j.reshape(S_pad, ntiles, 128), 1, 0),
+        jnp.moveaxis(code.reshape(C_pad, ntiles, 128), 1, 0),
         jnp.asarray(np.asarray(n, np.int32)).reshape(ntiles, 1, 128),
         jnp.asarray(np.asarray(m, np.int32)).reshape(ntiles, 1, 128),
         jnp.asarray(loend.astype(np.int32)).reshape(ntiles, 1, 128),

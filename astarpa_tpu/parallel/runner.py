@@ -674,16 +674,15 @@ def _select_pp(B: int, sw: int, max_pp: int = 4096) -> int:
 LAST_KERNEL = None
 
 
-#: Opt-in: route bands in [MIN, MAX] words to the pinned-word staggered
-#: kernel (ops/pinned.py) instead of the sliding pairs-tile kernel.
-#: Status: the pinned kernel is exact (oracle + vs-sliding tested) and
-#: hits ~0.9 Tcells/s at ~550 resident words, but its per-step cost
-#: currently grows superlinearly with residency (the dynamic-offset group
-#: loop), so at real big-band sizes the sliding kernel still wins —
-#: disabled by default until that is fixed.
-PINNED_ENABLED = False
+#: Route bands in [MIN, MAX] words to the pinned-word staggered kernel
+#: (ops/pinned.py): words on sublanes keep full tiles at any band height
+#: (~1.2 Tcells/s SW-equivalent, ~3.5x the sliding kernel's 0.35 once
+#: VMEM forces the sliding kernel to PP=128).  Below MIN the sliding
+#: pairs-tile kernel's batch amortization wins; above MAX the pinned
+#: residency (~1.5x band) exceeds VMEM — sliding HBM-window takes over.
+PINNED_ENABLED = True
 PINNED_MIN_SW = 640
-PINNED_MAX_SW = 1280
+PINNED_MAX_SW = 2816
 
 
 def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
@@ -709,13 +708,12 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
     ):
         from ..ops.pinned import pinned_cost_tpu
 
-        LAST_KERNEL = "pinned"
-        import numpy as np_
-
-        return pinned_cost_tpu(
-            np_.asarray(a0), np_.asarray(a1), np_.asarray(pb0),
-            np_.asarray(pb1), np_.asarray(n), np_.asarray(m), band_words=sw,
-        )
+        try:
+            out = pinned_cost_tpu(a0, a1, pb0, pb1, n, m, band_words=sw)
+            LAST_KERNEL = "pinned"
+            return out
+        except ValueError:
+            pass  # residency over VMEM for this bucket; sliding below
     pp = _select_pp(B, sw)
     use_pallas = pp >= 128 and (on_tpu or interpret)
     LAST_KERNEL = "pallas" if use_pallas else "jnp"

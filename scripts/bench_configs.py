@@ -86,17 +86,19 @@ def bench_config2(quick):
     costs = ba.cost(pairs)
     dt_cost = time.perf_counter() - t0
     _oracle_check(pairs, costs)
-    k_align = min(64, batch)
-    ba.align(pairs[:8])  # warmup/compile the fill kernel
+    k_align = min(512, batch)
+    ba2 = BatchAligner(band_words=20, lane_multiple=min(128, k_align))
+    ba2.align(pairs[:k_align])  # warmup/compile the ck kernel
     t0 = time.perf_counter()
-    res = ba.align(pairs[:k_align])
+    res = ba2.align(pairs[:k_align])
     dt_align = (time.perf_counter() - t0) / k_align
-    for (a, b), (c, cig) in zip(pairs, res):
+    for (a, b), (c, cig) in zip(pairs[:8], res[:8]):
         assert cig.verify(a, b) == c
     return {
         "config": "#2 cost+CIGAR 10kbp e=5%",
         "cost_Gbp_per_s": round(batch * n / dt_cost / 1e9, 3),
         "align_ms_per_pair": round(dt_align * 1e3, 2),
+        "align_Mbp_per_s": round(n / dt_align / 1e6, 2),
         "batch": batch,
     }
 
@@ -139,14 +141,18 @@ def bench_config4(quick):
         out["native_astar_ms"] = round(dt * 1e3, 1)
     batch = 8 if quick else 128
     pairs = [generate.uniform_seeded(n, 0.10, 100 + s) for s in range(batch)]
-    ba = BatchAligner(band_words=512, lane_multiple=min(128, batch))
-    ba.cost(pairs)  # warmup/compile
-    t0 = time.perf_counter()
-    costs = ba.cost(pairs)
-    dt = time.perf_counter() - t0
-    if "native_astar_ms" in out:
-        assert int(costs[0]) <= 2 * n  # sanity; exactness certified in-band
-    out["batch_Gbp_per_s"] = round(batch * n / dt / 1e9, 3)
+    for label, mode in (("plain", "off"), ("gap", "gap"), ("gcsh", "gcsh")):
+        ba = BatchAligner(band_words=512, lane_multiple=min(128, batch),
+                          domain_mode=mode)
+        if mode == "gcsh" and not available():
+            continue
+        ba.cost(pairs)  # warmup/compile
+        t0 = time.perf_counter()
+        costs = ba.cost(pairs)
+        dt = time.perf_counter() - t0
+        if "native_astar_ms" in out:
+            assert int(costs[0]) <= 2 * n
+        out[f"batch_Gbp_per_s_{label}"] = round(batch * n / dt / 1e9, 3)
     out["batch"] = batch
     return out
 
@@ -156,8 +162,24 @@ def bench_config5(quick):
     from astarpa_tpu.parallel.multihost import MultiHostRunner
     from astarpa_tpu.parallel.runner import BatchAligner
 
-    pairs = [generate.uniform_seeded(5000, 0.1, s) for s in range(16)]
-    runner = MultiHostRunner(BatchAligner(band_words=8, lane_multiple=8), batch_size=8)
+    if quick:
+        pairs = [generate.uniform_seeded(5000, 0.1, s) for s in range(16)]
+        runner = MultiHostRunner(
+            BatchAligner(band_words=8, lane_multiple=8), batch_size=8
+        )
+    else:
+        # The real config #5 shape: 500kbp ONT-like e=15% via per-pair
+        # gap-domain bands (gcsh on multi-core hosts).
+        pairs = [
+            generate.generate_model(
+                500_000, 0.15, generate.ErrorModel.NOISY_INSERT, s
+            )
+            for s in range(4)
+        ]
+        runner = MultiHostRunner(
+            BatchAligner(band_words=512, lane_multiple=128, domain_mode="gap"),
+            batch_size=4,
+        )
     t0 = time.perf_counter()
     res = runner.run(pairs)
     dt = time.perf_counter() - t0

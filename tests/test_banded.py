@@ -240,6 +240,38 @@ def test_pallas_perpair_parity_interpret():
         assert (ref == got).all(), sw
 
 
+def test_domain_ladder_gap_mode():
+    """The per-pair domain f-ladder (gap domains, no native needed for the
+    schedule) produces exact costs via the jnp per-pair kernel on CPU."""
+    pairs = [
+        generate.generate_model(
+            700 + 37 * s, [0.04, 0.15][s % 2],
+            list(generate.ErrorModel)[s % 4], 300 + s,
+        )
+        for s in range(6)
+    ] + [(b"ACGT" * 120, b"ACGT" * 250)]  # heavy length skew
+    ba = BatchAligner(band_words=4, lane_multiple=8, domain_mode="gap",
+                      domain_min_bp=0)
+    costs, stats = ba.cost_with_stats(pairs)
+    assert list(costs) == [oracle.levenshtein(a, b) for a, b in pairs]
+
+
+def test_domain_ladder_gcsh_mode():
+    """The gcsh domain ladder (native fwd+rev GCSH hulls) is exact."""
+    from astarpa_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    pairs = [
+        generate.generate_model(1000 + 61 * s, 0.1, generate.ErrorModel.UNIFORM, s)
+        for s in range(4)
+    ]
+    ba = BatchAligner(band_words=4, lane_multiple=8, domain_mode="gcsh",
+                      domain_min_bp=0, domain_k=10, domain_r=2)
+    costs, stats = ba.cost_with_stats(pairs)
+    assert list(costs) == [oracle.levenshtein(a, b) for a, b in pairs]
+
+
 def test_batch_align_fill_native_trace():
     """Device fill pass + native banded traceback produces exact, verified
     CIGARs (skipped when no native toolchain)."""
