@@ -287,9 +287,12 @@ def pair_gap_schedule(n, m, band_words: int, n_max: int, s_words: int):
     """Per-pair shift schedules: each window tracks its own pair's
     gap-centered line (row center ``i + (m-n)/2`` — the center of the
     cost-``thr`` parallelogram between the two corner diagonals), so the
-    exactness threshold drops to ``SW*W - 4W`` with NO ``|m-n|`` or
+    exactness threshold drops to ``SW*W - 6W`` with NO ``|m-n|`` or
     bucket-skew terms (cf. :func:`band_threshold` for the shared bucket
-    schedule, which pays both).
+    schedule, which pays both).  The ``6W`` slack covers the word
+    quantization of the window top (up to ``W`` rows high of center), the
+    SCHEDULE_Q-delayed shifts' bottom deficit (up to one extra word), and
+    the ``//2`` center rounding — keep it in sync with ``thr`` below.
 
     Returns ``(sched (n_max, B) uint8, thr (B,) int64)``; ``thr[p] = -1``
     marks pairs whose parallelogram cannot be entered at <=1 word shift

@@ -146,10 +146,23 @@ class BatchAligner:
             band *= 2
             attempt += 1
 
+    def _pack_multiple(self, for_ck: bool = False) -> int:
+        """Batch padding granularity: the configured lane multiple, raised
+        under a mesh so every shard still supports a full Pallas program
+        (the ck kernel needs >=128 pairs per shard)."""
+        import math
+
+        lm = self.lane_multiple
+        if self.mesh is not None:
+            ndev = self.mesh.devices.size
+            need = ndev * 128 if for_ck else ndev
+            lm = lm * need // math.gcd(lm, need)
+        return lm
+
     def _resolve_domain_mode(self, pairs, idxs, want_cigars: bool) -> str | None:
         """Returns "gap"/"gcsh" when the bucket should use the per-pair
         domain ladder, else None (plain shared ladder)."""
-        if self.domain_mode == "off" or self.mesh is not None:
+        if self.domain_mode == "off":
             return None
         big = max(len(pairs[i][0]) for i in idxs) >= self.domain_min_bp
         if not big and self.domain_mode == "auto":
@@ -201,10 +214,14 @@ class BatchAligner:
         from ..ops.pallas_myers import pack_batch_staggered
 
         bucket_pairs = [pairs[i] for i in idxs]
-        args, B0 = pack_batch_staggered(bucket_pairs, self.lane_multiple)
+        args, B0 = pack_batch_staggered(
+            bucket_pairs, self._pack_multiple(for_ck=results is not None)
+        )
+        args = self._shard(args)
         a0, a1, pb0, pb1, n, m = args
         n_max, S = a0.shape[0], pb0.shape[0]
         B = a0.shape[1]
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
         step = 64 if n_max <= 200_000 else 128
         if mode == "gcsh":
             # GIL-released ctypes builds: parallel across pairs on real
@@ -230,8 +247,16 @@ class BatchAligner:
                 ]
         else:
             handles = [_GapDomainProvider(a, b) for a, b in bucket_pairs]
+        trace_jobs: list = []
         try:
-            f = np.array([max(h.h0, 2 * W) for h in handles], np.int64)
+            # First-round f: h0 plus a ~25% margin for gcsh (unpruned GCSH
+            # underestimates d by ~10-20% at high divergence, so f=h0 almost
+            # always fails and pays a second round; the hull at 1.25*h0 is
+            # roughly as wide as the exact-f hull, so one padded round beats
+            # thin-fail + exact-retry).  Gap domains already carry their own
+            # divergence allowance in h0.
+            pad = (lambda h0: h0 + h0 // 4) if mode == "gcsh" else (lambda h0: h0)
+            f = np.array([max(pad(h.h0), 2 * W) for h in handles], np.int64)
             pending = list(range(B0))
             for _ in range(self.max_f_rounds):
                 scheds = {}
@@ -260,7 +285,9 @@ class BatchAligner:
                     sw = -(-sw // 64) * 64
                 sw = min(sw, S)
                 ck_mode = results is not None
-                if sw >= S or (ck_mode and _select_pp(B, sw, max_pp=1024) < 128):
+                if sw >= S or (
+                    ck_mode and _select_pp(B // ndev, sw, max_pp=1024) < 128
+                ):
                     break  # band no longer thin; plain ladder is better
                 sched_arr = np.zeros((n_max, B), np.uint8)
                 for slot in pending:
@@ -282,24 +309,22 @@ class BatchAligner:
                 ]
                 if done and results is not None:
                     sel = np.asarray(done)
-                    ckvp_h = np.asarray(ckvp[:, :, sel])
-                    ckvm_h = np.asarray(ckvm[:, :, sel])
-                    cktv_h = np.asarray(cktv[:, sel])
+                    # Device-side gather of the certified pairs' checkpoints;
+                    # the host copies run async so the next rung's kernel
+                    # overlaps them, and the (thread-pooled) traces drain
+                    # once the ladder has dispatched everything.
+                    ck_slices = (ckvp[:, :, sel], ckvm[:, :, sel], cktv[:, sel])
+                    _start_host_copy(ck_slices)
                     # Must mirror _banded_call's effective (Q-rounded) CB.
                     CB = min(max(1024, sw), max(n_max, 1))
                     CB = max(quantum, CB // quantum * quantum)
                     for pos, slot in enumerate(done):
                         i = idxs[slot]
-                        a, b = pairs[i]
-                        sc = np.ascontiguousarray(
-                            scheds[slot].sched, np.int32
-                        )
-                        cost, cigar = native.trace_banded_ck(
-                            a, b, S, ckvp_h[:, :, pos], ckvm_h[:, :, pos],
-                            cktv_h[:, pos], sc, sw, CB,
-                        )
-                        assert cost == costs[slot], (cost, costs[slot])
-                        results[i] = (cost, cigar)
+                        sc = np.ascontiguousarray(scheds[slot].sched, np.int32)
+                        trace_jobs.append(_TraceJob(
+                            pair=i, slices=ck_slices, pos=pos, shift=sc,
+                            s_words=S, sw=sw, cb=CB, want=int(costs[slot]),
+                        ))
                 for slot in done:
                     out[idxs[slot]] = int(costs[slot])
                 pending = [s for s in pending if s not in set(done)]
@@ -318,10 +343,12 @@ class BatchAligner:
             if results is None:
                 self._run_bucket(pairs, rest, out, stats)
             else:
+                self._flush_traces(trace_jobs, pairs, results)
                 self._align_bucket_ck(pairs, rest, results, stats)
                 for i in rest:
                     out[i] = results[i][0]
         finally:
+            self._flush_traces(trace_jobs, pairs, results)
             for h in handles:
                 h.close()
 
@@ -332,14 +359,28 @@ class BatchAligner:
         from ..ops import banded
 
         B = a0.shape[1]
-        pp = _select_pp(B, sw, max_pp=1024 if want_ck else 2048)
+        n_max = a0.shape[0]
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+        pp = _select_pp(B // ndev, sw, max_pp=1024 if want_ck else 2048)
         on_tpu = jax.default_backend() == "tpu" or self.pallas_interpret
+        CB = min(max(1024, sw), max(n_max, 1))
+        if self.mesh is not None and on_tpu and pp >= 128:
+            # Multi-chip product path: the per-pair Pallas kernel (cost or
+            # checkpointing) runs on every shard via shard_map; schedules
+            # shard along the batch axis with the inputs (SURVEY.md §2.6).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sched_dev = jax.device_put(
+                np.ascontiguousarray(sched_arr),
+                NamedSharding(self.mesh, P(None, "batch")),
+            )
+            return _sharded_domain(
+                self.mesh, sw, quantum, self.pallas_interpret, want_ck, CB, pp
+            )(a0, a1, pb0, pb1, n, m, sched_dev)
         if want_ck:
             from ..ops.pallas_banded import banded_ck_tpu
 
             assert on_tpu and pp >= 128
-            n_max = a0.shape[0]
-            CB = min(max(1024, sw), max(n_max, 1))
             return banded_ck_tpu(
                 a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
                 pairs_per_program=pp, interpret=self.pallas_interpret,
@@ -426,8 +467,7 @@ class BatchAligner:
 
         if (
             native.available()
-            and jax.default_backend() == "tpu"
-            and self.mesh is None
+            and (jax.default_backend() == "tpu" or self.pallas_interpret)
             and self.lane_multiple % 128 == 0
         ):
             return self._align_combined(pairs)
@@ -474,66 +514,131 @@ class BatchAligner:
         return results, stats
 
     def _align_bucket_ck(self, pairs, idxs, results, stats) -> None:
-        from .. import native
         from ..ops import banded
-        from ..ops.pallas_banded import banded_ck_tpu
         from ..ops.pallas_myers import pack_batch_staggered
 
         band = self.band_words
         pending = idxs
         attempt = 0
-        while True:
-            bucket_pairs = [pairs[i] for i in pending]
-            args, B0 = pack_batch_staggered(bucket_pairs, self.lane_multiple)
-            a0, a1, pb0, pb1, n, m = args
-            n_max, S = a0.shape[0], pb0.shape[0]
-            sw = min(band, S)
-            if S > max(n_max, 1) or attempt >= self.max_band_doublings:
-                sw = S
-            if sw > 64:
-                sw = min(-(-sw // 8) * 8, S)
-            pp = _select_pp(a0.shape[1], sw, max_pp=1024)
-            assert pp >= 128, (a0.shape, sw)
-            # DT bursts make long checkpoint intervals cheap, and the
-            # device->host readback shrinks with 1/CB.
-            CB = min(max(1024, sw), max(n_max, 1))
-            got, ckvp, ckvm, cktv = banded_ck_tpu(
-                a0, a1, pb0, pb1, n, m,
-                band_words=sw, col_block=CB, pairs_per_program=pp,
-            )
-            stats.cells_computed += n_max * sw * W * len(pending)
-            costs = np.asarray(got)[:B0]
-            if sw >= S:
-                ok = np.ones(B0, dtype=bool)
-            else:
-                thr = banded.band_threshold(
-                    sw, np.asarray(n)[:B0], np.asarray(m)[:B0], n_max, S * W
+        trace_jobs: list = []
+        try:
+            while True:
+                bucket_pairs = [pairs[i] for i in pending]
+                args, B0 = pack_batch_staggered(
+                    bucket_pairs, self._pack_multiple(for_ck=True)
                 )
-                ok = costs <= thr
-            sel = np.nonzero(ok)[0]
-            if sel.size:
-                # Gather only certified pairs' checkpoints on device; the
-                # host link is the scarce resource.
-                ckvp_h = np.asarray(ckvp[:, :, sel])
-                ckvm_h = np.asarray(ckvm[:, :, sel])
-                cktv_h = np.asarray(cktv[:, sel])
-                shift = banded.shift_at_array(n_max, S, sw)
-                for pos, slot in enumerate(sel):
-                    i = pending[slot]
-                    a, b = pairs[i]
-                    cost, cigar = native.trace_banded_ck(
-                        a, b, S, ckvp_h[:, :, pos], ckvm_h[:, :, pos],
-                        cktv_h[:, pos], shift, sw, CB,
+                args = self._shard(args)
+                a0, a1, pb0, pb1, n, m = args
+                n_max, S = a0.shape[0], pb0.shape[0]
+                sw = min(band, S)
+                if S > max(n_max, 1) or attempt >= self.max_band_doublings:
+                    sw = S
+                if sw > 64:
+                    sw = min(-(-sw // 8) * 8, S)
+                ndev = 1 if self.mesh is None else self.mesh.devices.size
+                pp = _select_pp(a0.shape[1] // ndev, sw, max_pp=1024)
+                if pp < 128:
+                    # Band too tall for the ck kernel's VMEM model (very
+                    # long pairs at the full-height clamp): finish the
+                    # remaining pairs on the cost ladder + trace fallback.
+                    self._flush_traces(trace_jobs, pairs, results)
+                    sub = np.full(len(pairs), -1, dtype=np.int64)
+                    self._run_bucket(pairs, pending, sub, stats)
+                    self._trace_bucket(pairs, pending, sub, results)
+                    return
+                # DT bursts make long checkpoint intervals cheap, and the
+                # device->host readback shrinks with 1/CB.
+                CB = min(max(1024, sw), max(n_max, 1))
+                got, ckvp, ckvm, cktv = self._ck_kernel(
+                    a0, a1, pb0, pb1, n, m, sw, CB, pp
+                )
+                stats.cells_computed += n_max * sw * W * len(pending)
+                costs = np.asarray(got)[:B0]
+                if sw >= S:
+                    ok = np.ones(B0, dtype=bool)
+                else:
+                    thr = banded.band_threshold(
+                        sw, np.asarray(n)[:B0], np.asarray(m)[:B0], n_max, S * W
                     )
-                    assert cost == costs[slot], (cost, costs[slot])
+                    ok = costs <= thr
+                sel = np.nonzero(ok)[0]
+                next_pending = [i for i, o in zip(pending, ok) if not o]
+                if sel.size:
+                    # Gather only certified pairs' checkpoints on device (the
+                    # host link is the scarce resource), start the host copy
+                    # async, and defer the traces until the whole ladder has
+                    # dispatched — the next rung's kernel overlaps them.
+                    ck_slices = (ckvp[:, :, sel], ckvm[:, :, sel], cktv[:, sel])
+                    _start_host_copy(ck_slices)
+                    shift = banded.shift_at_array(n_max, S, sw)
+                    for pos, slot in enumerate(sel):
+                        trace_jobs.append(_TraceJob(
+                            pair=pending[slot], slices=ck_slices, pos=pos,
+                            shift=shift, s_words=S, sw=sw, cb=CB,
+                            want=int(costs[slot]),
+                        ))
+                pending = next_pending
+                if not pending:
+                    return
+                assert sw < S, "full-height window must certify every pair"
+                stats.band_retries += 1
+                band *= 2
+                attempt += 1
+        finally:
+            self._flush_traces(trace_jobs, pairs, results)
+
+    def _ck_kernel(self, a0, a1, pb0, pb1, n, m, sw: int, CB: int, pp: int):
+        """Checkpointing-kernel dispatch: single device, or shard_map over
+        the mesh's batch axis (every shard runs the Pallas ck kernel; the
+        per-pair traces are host work that parallelizes across hosts)."""
+        if self.mesh is None:
+            from ..ops.pallas_banded import banded_ck_tpu
+
+            return banded_ck_tpu(
+                a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
+                pairs_per_program=pp, interpret=self.pallas_interpret,
+            )
+        return _sharded_ck(self.mesh, sw, CB, pp, self.pallas_interpret)(
+            a0, a1, pb0, pb1, n, m
+        )
+
+    def _flush_traces(self, trace_jobs: list, pairs, results) -> None:
+        """Drain deferred checkpoint traces, thread-parallel across pairs
+        (the native calls release the GIL).  Clears ``trace_jobs``."""
+        if not trace_jobs:
+            return
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import native
+
+        host: dict[int, tuple] = {}
+
+        def run(job: "_TraceJob"):
+            vp, vm, tv = host[id(job.slices)]
+            a, b = pairs[job.pair]
+            cost, cigar = native.trace_banded_ck(
+                a, b, job.s_words, vp[:, :, job.pos], vm[:, :, job.pos],
+                tv[:, job.pos], job.shift, job.sw, job.cb,
+            )
+            assert cost == job.want, (cost, job.want)
+            return job.pair, cost, cigar
+
+        for job in trace_jobs:
+            if id(job.slices) not in host:
+                host[id(job.slices)] = tuple(
+                    np.asarray(x) for x in job.slices
+                )
+        workers = min(len(trace_jobs), os.cpu_count() or 1)
+        if workers > 1:
+            with ThreadPoolExecutor(workers) as ex:
+                for i, cost, cigar in ex.map(run, trace_jobs):
                     results[i] = (cost, cigar)
-            pending = [i for i, o in zip(pending, ok) if not o]
-            if not pending:
-                return
-            assert sw < S, "full-height window must certify every pair"
-            stats.band_retries += 1
-            band *= 2
-            attempt += 1
+        else:
+            for job in trace_jobs:
+                i, cost, cigar = run(job)
+                results[i] = (cost, cigar)
+        trace_jobs.clear()
 
     def _trace_bucket(self, pairs, idxs, costs, results) -> None:
         from .. import native
@@ -562,7 +667,7 @@ class BatchAligner:
             sw = min(-(-sw // 8) * 8, S)
         shift = banded.shift_at_array(n_max, S, sw)
         pp = _select_pp(B, sw, max_pp=1024)
-        if jax.default_backend() == "tpu" and pp >= 128:
+        if (jax.default_backend() == "tpu" or self.pallas_interpret) and pp >= 128:
             # Checkpoint path: O(n/CB) readback; native C++ DT-bursts (or
             # recomputes stripes) in between (`trace.rs:231-416,71-125`).
             from ..ops.pallas_banded import banded_ck_tpu
@@ -571,6 +676,7 @@ class BatchAligner:
             got, ckvp, ckvm, cktv = banded_ck_tpu(
                 a0, a1, pb0, pb1, n, m,
                 band_words=sw, col_block=CB, pairs_per_program=pp,
+                interpret=self.pallas_interpret,
             )
             # Slice off the padding lanes on device: only the real pairs'
             # checkpoints cross the (slow) device->host link.
@@ -653,6 +759,107 @@ def _trivial_cigar(a: bytes, b: bytes) -> Cigar:
     if len(b):
         cigar.push(CigarOp.INS, len(b))
     return cigar
+
+
+from dataclasses import dataclass as _dc
+
+
+@_dc
+class _TraceJob:
+    """One deferred checkpoint trace: pair index + its column in a batch of
+    device-resident checkpoint slices (read back lazily at flush time)."""
+
+    pair: int
+    slices: tuple  # (ckvp, ckvm, cktv) device arrays, certified pairs only
+    pos: int       # this pair's column within the slices
+    shift: np.ndarray
+    s_words: int
+    sw: int
+    cb: int
+    want: int
+
+
+def _start_host_copy(arrays) -> None:
+    """Kick off async device->host copies (overlapped with later kernels);
+    silently a no-op on backends without the API."""
+    for x in arrays:
+        try:
+            x.copy_to_host_async()
+        except AttributeError:
+            pass
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_ck(mesh, sw: int, CB: int, pp: int, interpret: bool):
+    """shard_map'd checkpointing kernel over the mesh's batch axis: every
+    shard runs the Pallas ck kernel on its own pairs; checkpoints come back
+    sharded along the pair axis (`astarpa2/src/blocks/trace.rs:16-135`
+    ridden by the mesh instead of bypassed)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas_banded import banded_ck_tpu
+
+    def fn(a0, a1, pb0, pb1, n, m):
+        global LAST_KERNEL
+        LAST_KERNEL = "pallas-ck-sharded"
+        return banded_ck_tpu(
+            a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
+            pairs_per_program=pp, interpret=interpret,
+        )
+
+    cols = P(None, "batch")
+    vec = P("batch")
+    ck3 = P(None, None, "batch")
+    ck2 = P(None, "batch")
+    return jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(cols, cols, cols, cols, vec, vec),
+            out_specs=(vec, ck3, ck3, ck2),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_domain(mesh, sw: int, Q: int, interpret: bool, want_ck: bool,
+                    CB: int, pp: int):
+    """shard_map'd per-pair-schedule kernel (cost or checkpointing) over
+    the mesh's batch axis; schedules shard with the pairs."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas_banded import banded_cost_tpu, banded_ck_tpu
+
+    def fn(a0, a1, pb0, pb1, n, m, sched):
+        global LAST_KERNEL
+        if want_ck:
+            LAST_KERNEL = "pallas-ck-perpair-sharded"
+            return banded_ck_tpu(
+                a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
+                pairs_per_program=pp, interpret=interpret,
+                schedule=sched, schedule_quantum=Q,
+            )
+        LAST_KERNEL = "pallas-perpair-sharded"
+        return banded_cost_tpu(
+            a0, a1, pb0, pb1, n, m, band_words=sw, pairs_per_program=pp,
+            interpret=interpret, schedule=sched, schedule_quantum=Q,
+        )
+
+    cols = P(None, "batch")
+    vec = P("batch")
+    out = (vec, P(None, None, "batch"), P(None, None, "batch"), P(None, "batch")) if want_ck else vec
+    return jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(cols, cols, cols, cols, vec, vec, cols),
+            out_specs=out,
+            check_vma=False,
+        )
+    )
 
 
 def _select_pp(B: int, sw: int, max_pp: int = 4096) -> int:

@@ -159,13 +159,17 @@ class Cigar:
         cigar = Cigar()
         ops = cigar.ops
         from_char = _OP_FROM_CHAR
+        consumed = 0
         for cnt, ch in _CIGAR_RE.findall(s):
+            consumed += len(cnt) + 1
             op = from_char[ch]
             c = int(cnt) if cnt else 1
             if ops and ops[-1].op == op:
                 ops[-1].cnt += c
             else:
                 ops.append(CigarElem(op, c))
+        if consumed != len(s):
+            raise ValueError(f"invalid CIGAR string: {s!r}")
         return cigar
 
     def cost(self) -> int:

@@ -19,8 +19,10 @@
 // the astarpa-c parity layer.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <string>
 #include <vector>
 #include <unordered_map>
@@ -138,31 +140,92 @@ static void mutations(i32 k, u64 qgram, std::vector<u64>& dels,
   }
 }
 
-// Sorted q-gram multimap: build once, lookup by binary search.  Much
-// faster than std::unordered_map for the r=2 path (~10^6 lookups); plays
-// the role of the reference's FxHashMap tables (`exact.rs:40-69`).
-struct QgramIndex {
-  std::vector<std::pair<u64, i32>> entries;
+// Open-addressing q-gram hash multimap: three linear passes over the
+// text (count, prefix-sum, place), O(1) probes — the role of the
+// reference's FxHashMap tables (`exact.rs:40-69`).  Replaces the round-2
+// sort-merge (3 sorts of ~10^6 queries + tables dominated the gcsh
+// domain build at 500kbp; direct probes cut it ~5-10x).
+struct QgramHash {
+  static constexpr u64 EMPTY = ~u64(0);
+  // Byte tags make the common MISS probe resolve in a cap-byte array
+  // (L2-resident at 10^6 grams) without touching the 8-byte keys: the
+  // r=2 mutation queries miss ~99% of the time.
+  std::vector<uint8_t> tags;   // slot -> 0 free, else (hash>>56)|1
+  std::vector<u64> keys;       // slot -> qgram
+  std::vector<i32> offs;       // slot -> start into positions
+  std::vector<i32> cnts;       // slot -> occurrence count
+  std::vector<i32> positions;  // grouped j positions
+  u64 mask = 0;
+
+  static inline u64 mix(u64 x) {  // splitmix64 finalizer
+    x += 0x9E3779B97F4A7C15ull;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+    return x ^ (x >> 31);
+  }
+
+  inline u64 find_slot(u64 key, u64 hx) const {  // existing or first free
+    u64 s = hx & mask;
+    uint8_t tag = (uint8_t)(hx >> 56) | 1;
+    while (true) {
+      uint8_t t = tags[s];
+      if (t == 0 || (t == tag && keys[s] == key)) return s;
+      s = (s + 1) & mask;
+    }
+  }
 
   void build_sliding(const uint8_t* s, i32 len, i32 k) {
-    entries.clear();
-    if (len < k) return;
-    entries.reserve(len - k + 1);
-    u64 mask = (k < 32) ? ((u64(1) << (2 * k)) - 1) : ~u64(0);
+    positions.clear();
+    i32 ngrams = (len >= k) ? len - k + 1 : 0;
+    u64 cap = 16;
+    while (cap < u64(2 * ngrams + 2)) cap <<= 1;
+    mask = cap - 1;
+    tags.assign(cap, 0);
+    keys.assign(cap, EMPTY);
+    offs.assign(cap, 0);
+    cnts.assign(cap, 0);
+    if (!ngrams) return;
+    u64 kmask = (k < 32) ? ((u64(1) << (2 * k)) - 1) : ~u64(0);
+    // Gram + hash streams once (sequential); the two random-access passes
+    // then prefetch PF slots ahead — the table is L3-sized at long reads
+    // and memory-level parallelism is the whole game.
+    std::vector<u64> grams(ngrams), hxs(ngrams);
     u64 q = 0;
     for (i32 t = 0; t < k - 1; t++) q = (q << 2) | u64(code(s[t]));
-    for (i32 j = 0; j + k <= len; j++) {
-      q = ((q << 2) | u64(code(s[j + k - 1]))) & mask;
-      entries.push_back({q, j});
+    for (i32 j = 0; j < ngrams; j++) {
+      q = ((q << 2) | u64(code(s[j + k - 1]))) & kmask;
+      grams[j] = q;
+      hxs[j] = mix(q);
     }
-    std::sort(entries.begin(), entries.end());
+    constexpr i32 PF = 16;
+    for (i32 j = 0; j < ngrams; j++) {  // pass 1: count per key
+      if (j + PF < ngrams) __builtin_prefetch(&tags[hxs[j + PF] & mask]);
+      u64 slot = find_slot(grams[j], hxs[j]);
+      tags[slot] = (uint8_t)(hxs[j] >> 56) | 1;
+      keys[slot] = grams[j];
+      cnts[slot]++;
+    }
+    i32 acc = 0;  // pass 2: prefix-sum group offsets
+    for (u64 t = 0; t < cap; t++) {
+      offs[t] = acc;
+      acc += cnts[t];
+      cnts[t] = 0;  // reused as fill cursor in pass 3
+    }
+    positions.resize(acc);
+    for (i32 j = 0; j < ngrams; j++) {  // pass 3: place positions
+      if (j + PF < ngrams) __builtin_prefetch(&tags[hxs[j + PF] & mask]);
+      u64 slot = find_slot(grams[j], hxs[j]);
+      positions[offs[slot] + cnts[slot]++] = j;
+    }
   }
 
   template <typename F>
   void lookup(u64 key, F f) const {
-    auto it = std::lower_bound(
-        entries.begin(), entries.end(), std::pair<u64, i32>{key, INT32_MIN});
-    for (; it != entries.end() && it->first == key; ++it) f(it->second);
+    if (keys.empty()) return;
+    u64 slot = find_slot(key, mix(key));
+    if (tags[slot] == 0) return;
+    const i32* p = positions.data() + offs[slot];
+    for (i32 t = 0; t < cnts[slot]; t++) f(p[t]);
   }
 };
 
@@ -178,7 +241,7 @@ static std::vector<Match> find_matches(const uint8_t* a, i32 n,
     Pos t = seeds.transform(mt.start);
     return t.i <= t_target.i && t.j <= t_target.j;
   };
-  QgramIndex tab[3];
+  QgramHash tab[3];
   if (r == 1) {
     tab[1].build_sliding(b, m, k);
     i32 num_seeds = (n >= k) ? n / k : 0;
@@ -194,39 +257,32 @@ static std::vector<Match> find_matches(const uint8_t* a, i32 n,
     for (i32 d = -1; d <= 1; d++) tab[d + 1].build_sliding(b, m, k + d);
     std::vector<u64> dels, subs, ins;
     i32 num_seeds = (n >= k) ? (n - k) / k + 1 : 0;
-    // Gather all (key, seed, cost) queries per table, then sort-merge
-    // against the sorted q-gram entries: one linear pass instead of ~8k
-    // binary searches per seed (the r=2 hot path at long reads).
-    struct Qry {
-      u64 w;
-      i32 s;
-      i32 cost;
-    };
-    std::vector<Qry> queries[3];
-    for (i32 s = num_seeds - 1; s >= 0; s--) {
+    // ~100 mutated q-grams per seed, each an O(1) probe into the
+    // length-matched table (the r=2 hot path at long reads).
+    for (i32 s = 0; s < num_seeds; s++) {
       i32 start = s * k;
       u64 q = qgram_of(a + start, k);
-      queries[1].push_back({q, s, 0});
-      mutations(k, q, dels, subs, ins);
-      for (u64 w : dels) queries[0].push_back({w, s, 1});
-      for (u64 w : subs) queries[1].push_back({w, s, 1});
-      for (u64 w : ins) queries[2].push_back({w, s, 1});
-    }
-    for (i32 t = 0; t < 3; t++) {
-      auto& qs = queries[t];
-      std::sort(qs.begin(), qs.end(),
-                [](const Qry& x, const Qry& y) { return x.w < y.w; });
-      const auto& es = tab[t].entries;
-      i32 dj = k + (t - 1);
-      size_t ei = 0;
-      for (const Qry& qr : qs) {
-        while (ei < es.size() && es[ei].first < qr.w) ei++;
-        for (size_t e = ei; e < es.size() && es[e].first == qr.w; e++) {
-          i32 start = qr.s * k, j = es[e].second;
-          Match mt{{start, j}, {start + k, j + dj}, qr.cost, 2};
+      auto probe = [&](i32 t, u64 w, i32 cost) {
+        i32 dj = k + (t - 1);
+        tab[t].lookup(w, [&](i32 j) {
+          Match mt{{start, j}, {start + k, j + dj}, cost, 2};
           if (keep(mt)) out.push_back(mt);
-        }
-      }
+        });
+      };
+      auto pf = [&](i32 t, u64 w) {
+        __builtin_prefetch(&tab[t].tags[QgramHash::mix(w) & tab[t].mask]);
+      };
+      mutations(k, q, dels, subs, ins);
+      // Prefetch every mutation's tag slot first: ~100 independent L3
+      // loads per seed overlap instead of serializing.
+      pf(1, q);
+      for (u64 w : dels) pf(0, w);
+      for (u64 w : subs) pf(1, w);
+      for (u64 w : ins) pf(2, w);
+      probe(1, q, 0);
+      for (u64 w : dels) probe(0, w, 1);
+      for (u64 w : subs) probe(1, w, 1);
+      for (u64 w : ins) probe(2, w, 1);
     }
   }
   // Sort + dedup keeping lowest cost (`matches.rs:300-332`).
@@ -630,15 +686,27 @@ struct GCSHInstance {
   void build(const uint8_t* a, i32 n, const uint8_t* b, i32 m, i32 k, i32 r,
              i32 prune_mode, bool gap) {
     use_gap_cost = gap;
+    const char* prof = getenv("ASTARPA_NATIVE_PROFILE");
+    auto now = [] {
+      timespec ts;
+      clock_gettime(CLOCK_MONOTONIC, &ts);
+      return ts.tv_sec + 1e-9 * ts.tv_nsec;
+    };
+    double t0 = prof ? now() : 0;
     seeds.build(n, k, r);
     target = Pos{n, m};
     t_target = gap ? seeds.transform(target) : target;
     auto ms = find_matches(a, n, b, m, seeds, k, r, gap);
+    double t1 = prof ? now() : 0;
     num_matches = (i32)ms.size();
     bool ps = prune_mode == 1 || prune_mode == 3;
     bool pe = prune_mode == 2 || prune_mode == 3;
     prune_enabled = prune_mode != 0;
     pruner.build(std::move(ms), ps, pe, gap);
+    double t2 = prof ? now() : 0;
+    if (prof)
+      fprintf(stderr, "  [gcsh.build] matches=%.3fs (m=%d) pruner=%.3fs\n",
+              t1 - t0, num_matches, t2 - t1);
 
     // Build contours from arrow groups in decreasing LexPos(start) order
     // (`hint_contours.rs:213-254`).
@@ -661,6 +729,8 @@ struct GCSHInstance {
       contours.push_start(tstart, v);
       idx = lo;
     }
+    if (prof)
+      fprintf(stderr, "  [gcsh.build] contours=%.3fs\n", now() - t2);
   }
 
   Pos transform(Pos p) const { return use_gap_cost ? seeds.transform(p) : p; }
@@ -1232,11 +1302,22 @@ extern "C" void* gcsh_domain_new(const uint8_t* a, int n, const uint8_t* b,
   auto* h = new DomainHandle();
   h->n = n;
   h->m = m;
+  const char* prof = getenv("ASTARPA_NATIVE_PROFILE");
+  auto now = [] {
+    timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+  };
+  double t0 = prof ? now() : 0;
   h->hf.build(a, n, b, m, k, r, /*prune_mode=*/0, /*gap=*/true);
+  double t1 = prof ? now() : 0;
   std::vector<uint8_t> ra(a, a + n), rb(b, b + m);
   std::reverse(ra.begin(), ra.end());
   std::reverse(rb.begin(), rb.end());
   h->hr.build(ra.data(), n, rb.data(), m, k, r, /*prune_mode=*/0, /*gap=*/true);
+  if (prof)
+    fprintf(stderr, "[gcsh_domain_new] fwd=%.3fs rev=%.3fs matches=%d\n",
+            t1 - t0, now() - t1, h->hf.num_matches);
   u32 hint = HintContours::HINT_NONE;
   h->h0 = h->hf.h_with_hint(Pos{0, 0}, hint);
   if (h0_out) *h0_out = h->h0;

@@ -137,6 +137,125 @@ def test_batch_aligner_cigars():
         assert cigar.verify(a, b) == cost
 
 
+def test_align_combined_ck_interpret():
+    """The TPU combined cost+CIGAR ladder (checkpointing Pallas kernel +
+    native DT-burst traces) end-to-end in interpret mode on CPU."""
+    from astarpa_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    pairs = [
+        generate.uniform_seeded(150 + (s * 41) % 80, [0.02, 0.12][s % 2], 40 + s)
+        for s in range(24)
+    ]
+    ba = BatchAligner(band_words=4, lane_multiple=128, pallas_interpret=True,
+                      domain_mode="off")
+    results, stats = ba.align_with_stats(pairs)
+    for (a, b), (cost, cigar) in zip(pairs, results):
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
+def test_align_domain_ladder_ck_interpret():
+    """The per-pair domain-ladder CIGAR path (checkpointing kernel with
+    per-pair schedules + per-pair-schedule native traces) in interpret
+    mode — this path was TPU-only and untested before round 3."""
+    from astarpa_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    pairs = [
+        generate.generate_model(
+            500 + 67 * s, [0.05, 0.15][s % 2],
+            list(generate.ErrorModel)[s % 4], 900 + s,
+        )
+        for s in range(6)
+    ]
+    ba = BatchAligner(band_words=4, lane_multiple=128, pallas_interpret=True,
+                      domain_mode="gap", domain_min_bp=0)
+    results, stats = ba.align_with_stats(pairs)
+    for (a, b), (cost, cigar) in zip(pairs, results):
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
+def test_align_bucket_ck_pp0_fallback(monkeypatch):
+    """When _select_pp reports the band/batch geometry cannot host the ck
+    kernel (pp < 128), the combined path must fall back to the cost ladder
+    + trace path instead of asserting (round-2 advisor finding)."""
+    from astarpa_tpu import native
+    from astarpa_tpu.parallel import runner as runner_mod
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    pairs = _mixed_pairs(77, count=5)
+    ba = BatchAligner(band_words=4, lane_multiple=128, pallas_interpret=True,
+                      domain_mode="off")
+    monkeypatch.setattr(runner_mod, "_select_pp", lambda *a, **k: 0)
+    results = ba.align(pairs)
+    for (a, b), (cost, cigar) in zip(pairs, results):
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
+def test_batch_aligner_mesh_ck_cigars():
+    """Mesh parity for the product path: costs + CIGARs ride the sharded
+    checkpointing Pallas kernel (8-device CPU mesh, interpret mode)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from astarpa_tpu import native
+    from astarpa_tpu.parallel import runner as runner_mod
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    devs = np.array(jax.devices("cpu")[:8])
+    mesh = Mesh(devs, axis_names=("batch",))
+    pairs = [
+        generate.uniform_seeded(40 + s % 17, [0.0, 0.1, 0.3][s % 3], 800 + s)
+        for s in range(48)
+    ]
+    ba = BatchAligner(band_words=4, lane_multiple=128, mesh=mesh,
+                      pallas_interpret=True, domain_mode="off")
+    runner_mod.LAST_KERNEL = None
+    results = ba.align(pairs)
+    assert runner_mod.LAST_KERNEL == "pallas-ck-sharded"
+    for (a, b), (cost, cigar) in zip(pairs, results):
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
+def test_batch_aligner_mesh_domain_ladder_ck():
+    """The per-pair domain ladder also runs under a mesh: schedules shard
+    with the pairs; the per-pair checkpointing kernel runs on every shard
+    and CIGARs come from the per-pair-schedule native traces."""
+    import jax
+    from jax.sharding import Mesh
+
+    from astarpa_tpu import native
+    from astarpa_tpu.parallel import runner as runner_mod
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    devs = np.array(jax.devices("cpu")[:8])
+    mesh = Mesh(devs, axis_names=("batch",))
+    pairs = [
+        generate.uniform_seeded(350 + 41 * s, [0.04, 0.12][s % 2], 850 + s)
+        for s in range(10)
+    ]
+    ba = BatchAligner(band_words=4, lane_multiple=128, mesh=mesh,
+                      pallas_interpret=True, domain_mode="gap",
+                      domain_min_bp=0)
+    runner_mod.LAST_KERNEL = None
+    results = ba.align(pairs)
+    assert runner_mod.LAST_KERNEL in (
+        "pallas-ck-perpair-sharded", "pallas-ck-sharded"
+    ), runner_mod.LAST_KERNEL
+    for (a, b), (cost, cigar) in zip(pairs, results):
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
 def test_pallas_banded_parity_interpret():
     """The Pallas kernel is bit-identical to the jnp reference (interpret
     mode on CPU; the same check runs compiled on real TPU in bench.py)."""
@@ -181,7 +300,7 @@ def test_perpair_schedule_matches_shared():
 
 
 def test_pair_gap_schedule_certified_exact():
-    """Gap-centered per-pair schedules: accepted results (cost <= SW*W-4W)
+    """Gap-centered per-pair schedules: accepted results (cost <= SW*W-6W)
     equal the oracle, including length-skewed pairs the shared bucket
     schedule cannot certify."""
     pairs = _mixed_pairs(31, count=12) + [

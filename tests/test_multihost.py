@@ -84,7 +84,11 @@ def test_two_process_distributed_merge(tmp_path):
     import subprocess
     import sys
 
-    port = 23467
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     script = tmp_path / "worker.py"
     script.write_text(
         """
