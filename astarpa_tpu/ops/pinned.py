@@ -61,6 +61,53 @@ def _pack_bits_np(flags: np.ndarray) -> np.ndarray:
     return out
 
 
+def _residency(enter_bits: np.ndarray, absorb_bits: np.ndarray, T: int,
+               TB: int):
+    """Per-block word bases / roll flags / residency RW from the word
+    enter/absorb event streams.  Active words at time t span
+    [wmin(t), wmax(t)]: wmax = words entered so far - 1; wmin = words
+    absorbed so far.  Fixed-stride compaction: base advances by D under a
+    per-block flag."""
+    entered = np.cumsum(enter_bits.astype(np.int64))
+    absorbed = np.cumsum(absorb_bits.astype(np.int64))
+    n_tb = -(-T // TB)
+    T_pad = n_tb * TB
+    wmax_blk = np.zeros(n_tb, np.int64)
+    wmin_blk = np.zeros(n_tb, np.int64)
+    for k in range(n_tb):
+        s, e = k * TB, min((k + 1) * TB, T)
+        wmax_blk[k] = entered[e - 1] - 1
+        wmin_blk[k] = absorbed[s] - 1 if s > 0 else 0
+        wmin_blk[k] = max(0, min(wmin_blk[k], wmax_blk[k]))
+    deltas = 1
+    if n_tb > 1:
+        deltas = max(
+            int(np.diff(wmax_blk).max(initial=1)),
+            int(np.diff(wmin_blk).max(initial=1)),
+            1,
+        )
+    D = max(8, -(-deltas // 8) * 8)
+    base = np.zeros(n_tb, np.int64)
+    roll = np.zeros(n_tb, np.uint8)  # roll at the START of block k
+    RW = 0
+    b = 0
+    for k in range(n_tb):
+        if k > 0:
+            b = base[k - 1]
+            # roll (possibly needed) so the block's max word fits
+            while wmax_blk[k] - b + 1 > 0 and wmin_blk[k] - b >= D:
+                b += D
+                roll[k] += 1
+        base[k] = b
+        RW = max(RW, int(wmax_blk[k] - b + 1))
+    assert (roll <= 1).all(), "block shifts exceed one compaction stride"
+    RW = -(-max(RW, D + 8) // 8) * 8
+    return dict(
+        T=T, T_pad=T_pad, n_tb=n_tb, TB=TB, D=D, RW=RW,
+        base=base.astype(np.int32), roll=roll.astype(np.int32),
+    )
+
+
 def _plan(n_max: int, S: int, SW: int, TB: int):
     """Host-side stagger plan for the bucket schedule.
 
@@ -91,51 +138,37 @@ def _plan(n_max: int, S: int, SW: int, TB: int):
     top_bits = np.zeros(T, np.uint8)
     top_bits[top_t] = 1
 
-    # Residency: active words at time t span [wmin(t), wmax(t)].
-    # wmax(t): words entered so far - 1; wmin(t): words absorbed so far.
-    entered = np.cumsum(enter_bits.astype(np.int64))
-    absorbed = np.cumsum(absorb_bits.astype(np.int64))
-    n_tb = -(-T // TB)
-    T_pad = n_tb * TB
-    wmax_blk = np.zeros(n_tb, np.int64)
-    wmin_blk = np.zeros(n_tb, np.int64)
-    for k in range(n_tb):
-        s, e = k * TB, min((k + 1) * TB, T)
-        wmax_blk[k] = entered[e - 1] - 1
-        wmin_blk[k] = absorbed[s] - 1 if s > 0 else 0
-        wmin_blk[k] = max(0, min(wmin_blk[k], wmax_blk[k]))
-    # Fixed-stride compaction: base advances by D under a per-block flag.
-    deltas = 1
-    if n_tb > 1:
-        deltas = max(
-            int(np.diff(wmax_blk).max(initial=1)),
-            int(np.diff(wmin_blk).max(initial=1)),
-            1,
-        )
-    D = max(8, -(-deltas // 8) * 8)
-    base = np.zeros(n_tb, np.int64)
-    roll = np.zeros(n_tb, np.uint8)  # roll at the START of block k
-    RW = 0
-    b = 0
-    for k in range(n_tb):
-        if k > 0:
-            b = base[k - 1]
-            # roll (possibly needed) so the block's max word fits
-            while wmax_blk[k] - b + 1 > 0 and wmin_blk[k] - b >= D:
-                b += D
-                roll[k] += 1
-        base[k] = b
-        RW = max(RW, int(wmax_blk[k] - b + 1))
-    assert (roll <= 1).all(), "block shifts exceed one compaction stride"
-    RW = -(-max(RW, D + 8) // 8) * 8
-    return dict(
-        shift=shift, lo=lo, T=T, T_pad=T_pad, n_tb=n_tb, TB=TB, D=D, RW=RW,
-        base=base.astype(np.int32), roll=roll.astype(np.int32),
+    plan = _residency(enter_bits, absorb_bits, T, TB)
+    T_pad = plan["T_pad"]
+    plan.update(
+        shift=shift, lo=lo, n_words_live=n_words_live,
         enter_bits=_pack_bits_np(np.pad(enter_bits, (0, T_pad - T))),
         absorb_bits=_pack_bits_np(np.pad(absorb_bits, (0, T_pad - T))),
         top_bits=_pack_bits_np(np.pad(top_bits, (0, T_pad - T))),
-        n_words_live=n_words_live,
     )
+    return plan
+
+
+def _plan_pp(lo_min: np.ndarray, lo_max: np.ndarray, SW: int, TB: int):
+    """Residency plan for per-pair schedules, from the cross-pair window
+    envelopes: word w becomes resident when the FIRST pair's band reaches
+    it (driven by lo_max) and leaves when the LAST pair's band passes it
+    (driven by lo_min).  Per-pair enter/absorb/top events live in the
+    streamed event plane, not here."""
+    n_max = len(lo_max)
+    n_words_live = int(lo_max[-1]) + SW
+    w_ids = np.arange(n_words_live, dtype=np.int64)
+    enterc = np.searchsorted(lo_max, np.maximum(w_ids - SW + 1, 0), side="left")
+    exitc = np.searchsorted(lo_min, w_ids + 1, side="left")
+    T = int(n_max - 1 + n_words_live) + 1
+    enter_bits = np.zeros(T, np.uint8)
+    enter_bits[enterc + w_ids] = 1
+    absorb_bits = np.zeros(T, np.uint8)
+    ab = (exitc + w_ids)[exitc < n_max]
+    absorb_bits[ab] = 1
+    plan = _residency(enter_bits, absorb_bits, T, TB)
+    plan["n_words_live"] = n_words_live
+    return plan
 
 
 def _pinned_kernel(
@@ -304,7 +337,7 @@ def _pinned_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _pinned_call(RW, TB, D, SW, ntiles, n_tb, interpret):
+def _pinned_shared_call(RW, TB, D, SW, ntiles, n_tb, interpret):
     """jit-cached pallas caller per static geometry (re-tracing the pallas
     closure every call costs ~0.5s of host time otherwise)."""
     kernel = functools.partial(_pinned_kernel, RW=RW, TB=TB, D=D, SW=SW)
@@ -362,7 +395,17 @@ def pinned_cost_tpu(
     assert B % 128 == 0
     ntiles = B // 128
 
-    plan = _plan(n_max, S, SW, time_block)
+    # Residency is ~SW + TB + D (the initial word burst overlaps steady
+    # entries): when a big band overflows VMEM at the default time block,
+    # retry with smaller blocks before giving up — TB=256 lifts the usable
+    # band ceiling from ~2.8k to ~4.5k words for ~2x the grid overhead.
+    plan = None
+    for TB_try in (time_block, 512, 256):
+        if TB_try > time_block:
+            continue
+        plan = _plan(n_max, S, SW, TB_try)
+        if 6 * plan["RW"] * 128 * 4 + 2 * TB_try * 128 * 4 <= 11 * 2 ** 20:
+            break
     RW, TB, D, n_tb, T_pad = plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
     base = plan["base"]
     # 6 RW-sized scratch/window arrays + the char chunk + ~3.5MB of Mosaic
@@ -412,7 +455,7 @@ def pinned_cost_tpu(
             [code, jnp.zeros((C_pad - n_max, B), jnp.uint32)], 0
         )
 
-    out = _pinned_call(RW, TB, D, SW, ntiles, n_tb, interpret)(
+    out = _pinned_shared_call(RW, TB, D, SW, ntiles, n_tb, interpret)(
         jnp.asarray(plan["enter_bits"]),
         jnp.asarray(plan["absorb_bits"]),
         jnp.asarray(plan["top_bits"]),
@@ -430,3 +473,407 @@ def pinned_cost_tpu(
     # The band must still cover row m at each pair's final column.
     covered = (m_np - loend * W) <= SW * W
     return jnp.where(jnp.asarray(covered), res, INF32)
+
+
+# --- per-pair schedules ------------------------------------------------------
+#
+# Every pair slides its own band (the domain-ladder bands of
+# astarpa_tpu/domain.py).  The key identity: all per-pair events derive
+# from the pair's shift schedule.  With lo_p(c) = the pair's window top
+# word DURING column c,
+#
+#   top event    at t = c + lo_p(c)            (every column; the map is
+#                                               strictly increasing and
+#                                               skips exactly one t per
+#                                               shift column),
+#   absorb event at t = c + lo_p(c) - 1        (shift columns only: the
+#                                               skipped t values — so
+#                                               top = NOT absorb),
+#   enter event  at t = c + lo_p(c) + SW - 1   (shift columns only; plus
+#                                               the initial burst w < SW
+#                                               at t = w),
+#
+# so the streamed event plane needs only two bits per (t, pair): enter and
+# absorb.  The shared kernel's SMEM counters become per-lane vector
+# counters; the top-carry injection point s_top becomes a lane vector.
+# Residency (base/roll/RW) comes from the cross-pair lo envelopes
+# (`_plan_pp`): enters driven by lo_max, absorbs by lo_min.
+
+
+def _pinned_pp_kernel(
+    # scalar prefetch
+    anye_ref, anya_ref, cap_ref, base_ref, roll_ref,
+    # inputs (profile/char/event planes whole in HBM; windows DMA'd per block)
+    p0_ref, p1_ref, code_ref, ev_ref, n_ref, m_ref, loend_ref,
+    # output
+    out_ref,
+    # scratch
+    vp, vm, aux, acc, tot, cnt, p0v, p1v, axv, evv, dma,
+    *, RW: int, TB: int, D: int, SW: int,
+):
+    k = pl.program_id(1)
+    p = pl.program_id(0)
+    lanes = 128
+
+    base_k = base_ref[k]
+    cp0 = pltpu.make_async_copy(p0_ref.at[p, pl.ds(base_k, RW)], p0v, dma)
+    cp0.start()
+    cp1 = pltpu.make_async_copy(p1_ref.at[p, pl.ds(base_k, RW)], p1v, dma)
+    cax = pltpu.make_async_copy(
+        code_ref.at[p, pl.ds(k * TB - base_k, TB)], axv, dma
+    )
+    cev = pltpu.make_async_copy(ev_ref.at[p, pl.ds(k * TB, TB)], evv, dma)
+    cp0.wait()
+    cp1.start()
+    cp1.wait()
+    cax.start()
+    cax.wait()
+    cev.start()
+    cev.wait()
+
+    @pl.when(k == 0)
+    def _init():
+        vp[:] = jnp.full((RW, lanes), _ONES, U32)
+        vm[:] = jnp.zeros((RW, lanes), U32)
+        aux[:] = jnp.zeros((RW, lanes), U32)
+        acc[:] = jnp.zeros((RW, lanes), jnp.int32)
+        tot[:] = jnp.zeros((8, lanes), jnp.int32)
+        cnt[:] = jnp.zeros((8, lanes), jnp.int32)  # row 0 nextw, row 1 nextent
+
+    @pl.when((k > 0) & (roll_ref[k] > 0))
+    def _compact():
+        flushed = jnp.sum(acc[pl.ds(0, D)], axis=0)
+        tot[0] = tot[0] + flushed
+
+        def mv(g, _):
+            b = g * 8
+            vp[pl.ds(b, 8)] = vp[pl.ds(b + D, 8)]
+            vm[pl.ds(b, 8)] = vm[pl.ds(b + D, 8)]
+            aux[pl.ds(b, 8)] = aux[pl.ds(b + D, 8)]
+            acc[pl.ds(b, 8)] = acc[pl.ds(b + D, 8)]
+            return 0
+
+        jax.lax.fori_loop(0, (RW - D) // 8, mv, 0)
+        acc[pl.ds(RW - D, D)] = jnp.zeros((D, lanes), jnp.int32)
+
+    n = n_ref[0, 0]
+    m = m_ref[0, 0]
+    loend = loend_ref[0, 0]
+    pc = lambda x: jax.lax.population_count(x).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (RW, lanes), 0)
+    ngrp = RW // 8
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+
+    def bit(ref, t):
+        return (ref[t >> 5] >> (t & 31)) & 1 > 0
+
+    def step(tt, carry):
+        t = k * TB + tt
+        evt = evv[tt].astype(jnp.int32)  # (128,) event byte per pair
+        aflag = (evt & 2) > 0
+
+        # -- absorb: each flagged pair's current top word joins its
+        # boundary sum (state after its last column = after step t-1),
+        # gated on the pair still being alive at that column.  The outer
+        # pl.when on the cross-pair ANY bit skips the masked whole-array
+        # work on the ~3/4 of steps where no pair has an event.
+        @pl.when(bit(anya_ref, t))
+        def _absorb():
+            nextw = cnt[0]
+            alive = (t - nextw) <= n - 1
+            sel_a = (
+                (iota == (nextw - base_k)[None, :]) & (aflag & alive)[None, :]
+            )
+            acc[:] = acc[:] + jnp.where(sel_a, pc(vp[:]) - pc(vm[:]), 0)
+            cnt[0] = nextw + jnp.where(aflag, 1, 0)
+
+        # -- enter: each flagged pair's band bottom reaches a new word.
+        @pl.when(bit(anye_ref, t))
+        def _enter():
+            eflag = (evt & 1) > 0
+            sel_e = (iota == (cnt[1] - base_k)[None, :]) & eflag[None, :]
+            vp[:] = jnp.where(sel_e, U32(_ONES), vp[:])
+            vm[:] = jnp.where(sel_e, U32(0), vm[:])
+            cnt[1] = cnt[1] + jnp.where(eflag, 1, 0)
+
+        # -- one staggered step (same fused group walk as the shared
+        # kernel).  The +1 top carry lands per pair at its own top word:
+        # injected into the carry STREAM before the walk — word s_top's
+        # input carry is aux[s_top - 1] (or the entering new0 lane when
+        # s_top == 0) — as ONE masked whole-array op per step.  (A
+        # per-group lane-vector select on s_top costs 2.4x the whole
+        # kernel: Mosaic re-broadcasts the vector every group.)
+        top_flag = jnp.logical_not(aflag)
+        s_top = cnt[0] - base_k  # (128,) per-pair top slot
+        sel_t = top_flag[None, :] & (iota == (s_top - 1)[None, :])
+        aux[:] = jnp.where(sel_t, (aux[:] & U32(3)) | U32(4), aux[:])
+        new0 = axv[tt]
+        new0 = jnp.where(
+            top_flag & (s_top == 0), (new0 & U32(3)) | U32(4), new0
+        )
+
+        def group(up, b8):
+            auxg = up
+            code = auxg & 3
+            hp = (auxg >> 2) & 1
+            hm = auxg >> 3
+            a0m = jnp.zeros((8, lanes), U32) - (code & 1)
+            a1m = jnp.zeros((8, lanes), U32) - (code >> 1)
+            eqg = (a0m ^ p0v[pl.ds(b8, 8)]) & (a1m ^ p1v[pl.ds(b8, 8)])
+            vpw = vp[pl.ds(b8, 8)]
+            vmw = vm[pl.ds(b8, 8)]
+            vx = eqg | vmw
+            eq2 = eqg | hm
+            hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+            hpo = vmw | ~(hx | vpw)
+            hmo = vpw & hx
+            hp_n = hpo >> (W - 1)
+            hm_n = hmo >> (W - 1)
+            hpo = (hpo << 1) | hp
+            hmo = (hmo << 1) | hm
+            vp[pl.ds(b8, 8)] = hmo | ~(vx | hpo)
+            vm[pl.ds(b8, 8)] = hpo & vx
+            aux[pl.ds(b8, 8)] = code | (hp_n << 2) | (hm_n << 3)
+            return 0
+
+        def grp_body(i, c):
+            g = (ngrp - 1) - i
+            b8 = g * 8
+            group(aux[pl.ds(b8 - 1, 8)], b8)
+            return c
+
+        jax.lax.fori_loop(0, ngrp - 1, grp_body, 0)
+        group(jnp.concatenate([new0[None], aux[pl.ds(0, 7)]], 0), 0)
+
+        # -- capture at each pair's final column (when-gated; cap bits are
+        # the union over pairs, per-lane masks pick the right words).
+        @pl.when(bit(cap_ref, t))
+        def _capture():
+            w_abs = iota + base_k
+            on_diag = w_abs == (t + 1) - n[None, :]
+            in_band = (w_abs >= loend[None, :]) & (w_abs < loend[None, :] + SW)
+            rows = m[None, :] - w_abs * W
+            full = jnp.clip(rows, 0, W)
+            mask = jnp.where(
+                full >= W, U32(_ONES), (U32(1) << full.astype(U32)) - U32(1)
+            )
+            sel = on_diag & in_band
+            acc[:] = acc[:] + jnp.where(sel, pc(vp[:] & mask) - pc(vm[:] & mask), 0)
+
+        return carry
+
+    jax.lax.fori_loop(0, TB, step, 0)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        out_ref[0, 0] = tot[0] + jnp.sum(acc[:], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pinned_pp_call(RW, TB, D, SW, ntiles, n_tb, interpret):
+    kernel = functools.partial(_pinned_pp_kernel, RW=RW, TB=TB, D=D, SW=SW)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(ntiles, n_tb),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p0 (ntiles, S_pad, 128)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p1
+                pl.BlockSpec(memory_space=pltpu.ANY),  # code (ntiles, T_pad, 128)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ev (ntiles, T_pad, 128)
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((RW, 128), jnp.uint32),   # vp
+                pltpu.VMEM((RW, 128), jnp.uint32),   # vm
+                pltpu.VMEM((RW, 128), jnp.uint32),   # aux
+                pltpu.VMEM((RW, 128), jnp.int32),    # acc
+                pltpu.VMEM((8, 128), jnp.int32),     # tot
+                pltpu.VMEM((8, 128), jnp.int32),     # cnt (vector counters)
+                pltpu.VMEM((RW, 128), jnp.uint32),   # p0v
+                pltpu.VMEM((RW, 128), jnp.uint32),   # p1v
+                pltpu.VMEM((TB, 128), jnp.uint32),   # axv
+                pltpu.VMEM((TB, 128), jnp.uint32),   # evv
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ntiles, 1, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+@functools.lru_cache(maxsize=None)
+def _pp_run(n_max, B, S, SW, TB, RW, D, n_tb, T_pad, S_pad, interpret):
+    """jit-wrapped device prep + kernel call per static geometry.  The
+    event plane arrives as a host-built uint8 plane (host->device upload
+    is fast even on the tunnel rig; a device-side SCATTER of the O(n*B)
+    event times costs ~20x the whole kernel on TPU) and widens to u32 on
+    device (Mosaic cannot do dynamic single-row u8 loads)."""
+    ntiles = B // 128
+
+    def run(a0, a1, pb0, pb1, n, m, ev8, loend, anye_bits, anya_bits,
+            cap_bits, base, roll):
+        nn = jnp.asarray(n).astype(jnp.int32)
+        mm = jnp.asarray(m).astype(jnp.int32)
+        ev = jnp.asarray(ev8).astype(jnp.uint32)
+        pb0j = jnp.asarray(pb0)
+        pb1j = jnp.asarray(pb1)
+        if S_pad > S:
+            pb0j = jnp.concatenate(
+                [pb0j, jnp.broadcast_to(pb0j[-1], (S_pad - S, B))], 0
+            )
+            pb1j = jnp.concatenate(
+                [pb1j, jnp.broadcast_to(pb1j[-1], (S_pad - S, B))], 0
+            )
+        code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
+            jnp.uint32
+        )
+        if T_pad > n_max:
+            code = jnp.concatenate(
+                [code, jnp.zeros((T_pad - n_max, B), jnp.uint32)], 0
+            )
+
+        out = _pinned_pp_call(RW, TB, D, SW, ntiles, n_tb, interpret)(
+            anye_bits,
+            anya_bits,
+            cap_bits,
+            base,
+            roll,
+            jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(pb1j.reshape(S_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(code.reshape(T_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(ev.reshape(T_pad, ntiles, 128), 1, 0),
+            nn.reshape(ntiles, 1, 128),
+            mm.reshape(ntiles, 1, 128),
+            jnp.asarray(loend).reshape(ntiles, 1, 128),
+        )
+        res = out.reshape(B) + nn
+        # The band must still cover row m at each pair's final column.
+        covered = (mm - jnp.asarray(loend) * W) <= SW * W
+        return jnp.where(covered, res, INF32)
+
+    return jax.jit(run)
+
+
+def pinned_cost_pp_tpu(
+    a0, a1, pb0, pb1, n, m, band_words: int, schedule,
+    time_block: int = 1024, interpret: bool = False,
+):
+    """Big-band banded edit distances with PER-PAIR shift schedules on the
+    pinned-word staggered layout.
+
+    Same contract as :func:`pallas_banded.banded_cost_tpu` with
+    ``schedule`` — a host (n_max, B) 0/1 uint8 array, <=1 shift/column,
+    column 0 unshifted — except the computed region is a superset of each
+    pair's scheduled band, so results are <= the sliding per-pair kernel's
+    and the domain ladder's ``cost <= f`` certificate applies unchanged.
+
+    EVERY lane's schedule participates in the residency envelopes: callers
+    must fill ignored/padding lanes with a live pair's schedule (an
+    all-zero lane pins the window to word 0 and explodes RW).
+
+    Raises ValueError when the residency (band + cross-pair spread) would
+    exceed VMEM — callers fall back to the sliding kernel.
+    """
+    n_max, B = a0.shape
+    S = pb0.shape[0]
+    SW = min(band_words, S)
+    assert B % 128 == 0
+    sched_np = np.ascontiguousarray(np.asarray(schedule, dtype=np.uint8))
+    assert sched_np.shape == (n_max, B)
+
+    # Cross-pair window envelopes + per-pair last-column tops.  Pair-major
+    # (transposed) accumulate: contiguous along the scan axis (~4x the
+    # column-major cumsum) and chunked so the int32 lo plane never
+    # materializes whole at long reads.
+    n_np = np.asarray(n, np.int64)
+    m_np = np.asarray(m, np.int64)
+    last_col = np.clip(n_np - 1, 0, n_max - 1)
+    sched_T = np.ascontiguousarray(sched_np.T)  # (B, n_max)
+    lo_min = None
+    lo_max = None
+    loend = np.zeros(B, np.int32)
+    chunks = []  # (pair_range, loT) for the event pass below
+    for s in range(0, B, 128):
+        loT = np.add.accumulate(
+            sched_T[s : s + 128], axis=1, dtype=np.int32
+        )  # (chunk, n_max)
+        mn = loT.min(axis=0)
+        mx = loT.max(axis=0)
+        lo_min = mn if lo_min is None else np.minimum(lo_min, mn)
+        lo_max = mx if lo_max is None else np.maximum(lo_max, mx)
+        prs = np.arange(s, min(s + 128, B))
+        loend[prs] = loT[prs - s, last_col[prs]]
+        chunks.append((s, loT))
+
+    # Residency is ~SW + cross-pair spread + TB: retry with smaller time
+    # blocks before giving up (see pinned_cost_tpu).  The per-pair step's
+    # masked enter/absorb/top-prepass ops add several RW-sized stack
+    # temporaries over the shared kernel; coefficients fitted from two
+    # Mosaic scoped-vmem OOM reports (25.2M and 20.8M): ~13 RW-arrays +
+    # ~4 TB-arrays of scoped VMEM.
+    def _fits(p, tb):
+        return 13 * p["RW"] * 128 * 4 + 4 * tb * 128 * 4 <= 29 * 2 ** 19  # 14.5MB
+
+    plan = None
+    for TB_try in (time_block, 512, 256):
+        if TB_try > time_block:
+            continue
+        plan = _plan_pp(lo_min.astype(np.int64), lo_max.astype(np.int64), SW,
+                        TB_try)
+        if _fits(plan, TB_try):
+            break
+    RW, TB, D, n_tb, T_pad = (
+        plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
+    )
+    base = plan["base"]
+    if not _fits(plan, TB):
+        raise ValueError(
+            f"pinned residency RW={RW} exceeds VMEM; use the sliding kernel"
+        )
+    S_pad = int(base.max(initial=0)) + RW
+
+    # Event plane (bit 0 enter / bit 1 absorb), built on host: events are
+    # sparse (2 per shift) and numpy fancy-index scatter is ~100x the TPU
+    # scatter's throughput; upload is the fast direction on this rig.
+    ev = np.zeros((T_pad + 1, B), np.uint8)
+    for s, loT in chunks:
+        prows, ccols = np.nonzero(sched_T[s : s + 128])
+        tt = ccols + loT[prows, ccols]
+        ev[tt + (SW - 1), prows + s] |= 1
+        ev[tt - 1, prows + s] |= 2
+    ev[:SW] |= 1  # initial burst: words w < SW enter at t = w (all pairs)
+    ev = ev[:T_pad]
+
+    # Per-pair capture window bits (union over pairs), packed to u32.
+    cap = np.zeros(T_pad + 1, np.uint8)
+    tcap = (np.maximum(n_np, 1) - 1 + loend)[None, :] + np.arange(SW)[:, None]
+    cap[np.minimum(tcap.reshape(-1), T_pad)] = 1
+    cap_bits = _pack_bits_np(cap[:T_pad])
+    # Cross-pair ANY-event masks gate the masked whole-array enter/absorb
+    # work (pairs on similar schedules leave ~3/4 of steps event-free).
+    anye_bits = _pack_bits_np(np.bitwise_or.reduce(ev, axis=1) & 1)
+    anya_bits = _pack_bits_np((np.bitwise_or.reduce(ev, axis=1) >> 1) & 1)
+
+    run = _pp_run(n_max, B, max(S, 1), SW, TB, RW, D, n_tb, T_pad,
+                  max(S_pad, S, 1), interpret)
+    return run(
+        a0, a1, pb0, pb1,
+        np.asarray(n, np.int32),
+        np.asarray(m, np.int32),
+        ev,
+        loend,
+        anye_bits,
+        anya_bits,
+        cap_bits,
+        base,
+        plan["roll"],
+    )

@@ -293,6 +293,15 @@ class BatchAligner:
                 for slot in pending:
                     sc = scheds[slot].sched
                     sched_arr[: len(sc), slot] = sc
+                # Idle lanes (padding + already-certified pairs) get a live
+                # pair's schedule: the pinned kernel's residency envelopes
+                # span ALL lanes, and an all-zero lane would pin the window
+                # to word 0.  Their results are ignored.
+                fill = scheds[pending[0]].sched
+                idle = np.ones(B, bool)
+                idle[np.asarray(pending)] = False
+                if idle.any():
+                    sched_arr[: len(fill), idle] = fill[:, None]
                 got = self._domain_kernel(
                     a0, a1, pb0, pb1, n, m, sw, sched_arr, quantum,
                     want_ck=results is not None,
@@ -386,6 +395,32 @@ class BatchAligner:
                 pairs_per_program=pp, interpret=self.pallas_interpret,
                 schedule=sched_arr, schedule_quantum=quantum,
             )
+        global LAST_KERNEL
+        if (
+            PINNED_ENABLED
+            and jax.default_backend() == "tpu"
+            and not self.pallas_interpret
+            and self.mesh is None
+            and sw >= PINNED_PP_MIN_SW
+            and B % 128 == 0
+        ):
+            # Big per-pair bands ride the pinned-word layout: full sublane
+            # tiles at any band height, vs the sliding kernel's PP=128
+            # collapse (the round-2 config-#5 gap).
+            from ..ops.pinned import pinned_cost_pp_tpu
+
+            try:
+                out = pinned_cost_pp_tpu(
+                    a0, a1, pb0, pb1, n, m, band_words=sw, schedule=sched_arr
+                )
+                LAST_KERNEL = "pinned-perpair"
+                return out
+            except ValueError:
+                pass  # residency (band + cross-pair spread) over VMEM
+            except jax.errors.JaxRuntimeError:
+                # Mosaic scoped-VMEM OOM at compile time (the host-side
+                # model is a fitted approximation): same fallback.
+                pass
         if on_tpu and pp >= 128:
             from ..ops.pallas_banded import banded_cost_tpu
 
@@ -890,6 +925,12 @@ LAST_KERNEL = None
 PINNED_ENABLED = True
 PINNED_MIN_SW = 640
 PINNED_MAX_SW = 2816
+#: Per-pair schedules route to the pinned kernel (ops/pinned.py per-pair
+#: mode) above this band: the sliding per-pair kernel drops to PP=128 and
+#: ~0.35 Tcells/s there, while the pinned layout keeps full tiles.  Its
+#: own VMEM residency guard (band + cross-pair envelope spread) still
+#: applies and falls back to sliding when exceeded.
+PINNED_PP_MIN_SW = 512
 
 
 def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
@@ -919,7 +960,7 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
             out = pinned_cost_tpu(a0, a1, pb0, pb1, n, m, band_words=sw)
             LAST_KERNEL = "pinned"
             return out
-        except ValueError:
+        except (ValueError, jax.errors.JaxRuntimeError):
             pass  # residency over VMEM for this bucket; sliding below
     pp = _select_pp(B, sw)
     use_pallas = pp >= 128 and (on_tpu or interpret)

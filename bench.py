@@ -39,8 +39,11 @@ def main() -> None:
     from astarpa_tpu import generate, oracle
     from astarpa_tpu.ops import banded, pallas_banded, pallas_myers
 
-    pairs = generate.generate_batch(8, N, E, generate.ErrorModel.UNIFORM, seed=42)
-    pairs = pairs * (BATCH // len(pairs))
+    # 4096 DISTINCT pairs (round-2 verdict: 8 replicated pairs were fine
+    # for kernel timing but thin for certification diversity).
+    pairs = generate.generate_batch(
+        BATCH, N, E, generate.ErrorModel.UNIFORM, seed=42
+    )
     (a0, a1, pb0, pb1, ns, ms), _ = pallas_myers.pack_batch_staggered(
         pairs, lane_multiple=BATCH
     )
@@ -103,11 +106,44 @@ def main() -> None:
         assert cig.verify(a, b) == c
     align_gbps = cig_batch * N / align_dt / 1e9
 
+    # Config #5 (BASELINE): 500kbp ONT-like e=15% cost certification —
+    # the big-band path (shared/per-pair pinned kernel with TB-shrunk
+    # residency; round-2 verdict item 1).  Small batch: the metric is
+    # per-bp throughput.
+    c5 = {}
+    try:
+        from astarpa_tpu.parallel import runner as runner_mod
+
+        c5_pairs = generate.generate_batch(
+            16, 500_000, 0.15, generate.ErrorModel.UNIFORM, seed=7
+        )
+        ba5 = BatchAligner(band_words=64, lane_multiple=128)
+        ba5.cost(c5_pairs[:2])  # warm/compile on a slice
+        runner_mod.LAST_KERNEL = None
+        t0 = time.perf_counter()
+        costs5, stats5 = ba5.cost_with_stats(c5_pairs)
+        c5_dt = time.perf_counter() - t0
+        from astarpa_tpu import native as native_mod
+
+        if native_mod.available():
+            ref_c, _ = native_mod.astarpa_native(*c5_pairs[0])
+            assert int(costs5[0]) == ref_c, (int(costs5[0]), ref_c)
+        c5 = {
+            "config5_mbps": round(16 * 500_000 / c5_dt / 1e6, 2),
+            "config5_s": round(c5_dt, 2),
+            "config5_kernel": runner_mod.LAST_KERNEL,
+            "config5_note": "500kbp e=15% batch=16 cost, oracle-spot-checked",
+        }
+    except Exception as exc:  # pragma: no cover - bench resilience
+        c5 = {"config5_error": repr(exc)[:200]}
+
     result = {
         "metric": f"aligned Gbp/s/chip (config#2: {N}bp e={E} banded cost, batch={BATCH})",
         "value": round(gbps, 4),
         "unit": "Gbp/s",
         "vs_baseline": round(gbps / ref_gbps, 3),
+        # Co-headline (BASELINE.md north star is distance + CIGAR parity):
+        "cost_cigar_gbps": round(align_gbps, 4),
         "detail": {
             "device": str(jax.devices()[0]),
             "batch": BATCH,
@@ -125,6 +161,7 @@ def main() -> None:
                 "checkpoint readback + native DT-burst trace; host side is "
                 "1 core behind a ~7MB/s device->host tunnel here"
             ),
+            **c5,
         },
     }
     print(json.dumps(result))

@@ -68,3 +68,66 @@ def test_pinned_compaction_path():
     for p in range(B0):
         if sld[p] <= thr[p]:
             assert got[p] == oracle.levenshtein(*pairs[p])
+
+
+def test_pinned_perpair_vs_sliding_and_oracle():
+    """Per-pair-schedule pinned kernel (interpret mode): results are a
+    superset-band refinement of the sliding per-pair kernel (got <= sliding)
+    and exact wherever the gap-schedule certificate accepts."""
+    from astarpa_tpu.ops.pinned import pinned_cost_pp_tpu
+
+    pairs = [
+        generate.uniform_seeded(500 + (s * 53) % 260, [0.03, 0.1, 0.22][s % 3],
+                                40 + s)
+        for s in range(128)
+    ]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=128)
+    a0, a1, pb0, pb1, n, m = args
+    n_max, S = a0.shape[0], pb0.shape[0]
+    exp = [oracle.levenshtein(a, b) for a, b in pairs]
+    certified_any = np.zeros(B0, dtype=bool)
+    for sw in (8, 24):
+        sched, thr = banded.pair_gap_schedule(
+            np.asarray(n), np.asarray(m), sw, n_max, S
+        )
+        sld = np.asarray(
+            banded.banded_cost_pp(a0, a1, pb0, pb1, n, m, sched, band_words=sw)
+        )[:B0]
+        got = np.asarray(
+            pinned_cost_pp_tpu(
+                a0, a1, pb0, pb1, n, m, band_words=sw, schedule=sched,
+                time_block=128, interpret=True,
+            )
+        )[:B0]
+        ok = sld <= thr
+        for p in range(B0):
+            assert got[p] >= exp[p]
+            assert got[p] <= sld[p]
+            if ok[p]:
+                assert got[p] == exp[p], (sw, p, got[p], exp[p])
+        certified_any |= ok
+    assert certified_any.all()
+
+
+def test_pinned_perpair_broadcast_matches_shared():
+    """A per-pair schedule equal to the shared bucket schedule reproduces
+    the shared pinned kernel bit-for-bit (including compaction blocks)."""
+    from astarpa_tpu.ops.pinned import pinned_cost_pp_tpu
+
+    pairs = [generate.uniform_seeded(300 + s % 40, 0.12, 700 + s) for s in range(128)]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=128)
+    a0, a1, pb0, pb1, n, m = args
+    n_max, S = a0.shape[0], pb0.shape[0]
+    B = a0.shape[1]
+    sw = 8
+    shift = banded.shift_at_array(n_max, S, sw)
+    sched = np.broadcast_to(shift[:, None], (n_max, B)).astype(np.uint8)
+    pp = np.asarray(
+        pinned_cost_pp_tpu(a0, a1, pb0, pb1, n, m, band_words=sw,
+                           schedule=sched, time_block=64, interpret=True)
+    )
+    sh = np.asarray(
+        pinned_cost_tpu(a0, a1, pb0, pb1, n, m, band_words=sw,
+                        time_block=64, interpret=True)
+    )
+    assert (pp == sh).all()
