@@ -398,20 +398,22 @@ def pinned_cost_tpu(
     # Residency is ~SW + TB + D (the initial word burst overlaps steady
     # entries): when a big band overflows VMEM at the default time block,
     # retry with smaller blocks before giving up — TB=256 lifts the usable
-    # band ceiling from ~2.8k to ~4.5k words for ~2x the grid overhead.
+    # shared-band ceiling to ~2.2k words.  Mosaic's scoped-VMEM stack holds
+    # ~10 RW-sized arrays (6 persistent + step temporaries) + ~4 TB-sized
+    # stream buffers (measured 16.71M at RW=3024/TB=1024).
+    def _fits(p, tb):
+        return 10 * p["RW"] * 128 * 4 + 4 * tb * 128 * 4 <= 27 * 2 ** 19  # 13.5MB
+
     plan = None
     for TB_try in (time_block, 512, 256):
         if TB_try > time_block:
             continue
         plan = _plan(n_max, S, SW, TB_try)
-        if 6 * plan["RW"] * 128 * 4 + 2 * TB_try * 128 * 4 <= 11 * 2 ** 20:
+        if _fits(plan, TB_try):
             break
     RW, TB, D, n_tb, T_pad = plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
     base = plan["base"]
-    # 6 RW-sized scratch/window arrays + the char chunk + ~3.5MB of Mosaic
-    # temporaries must fit the 16MB scoped VMEM (measured: 16.7MB total at
-    # RW~4100).
-    if 6 * RW * 128 * 4 + 2 * TB * 128 * 4 > 11 * 2 ** 20:
+    if not _fits(plan, TB):
         raise ValueError(
             f"pinned residency RW={RW} exceeds VMEM; use the sliding kernel"
         )

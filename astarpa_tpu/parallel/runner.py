@@ -72,6 +72,15 @@ class BatchAligner:
     domain_k: int = 12
     domain_r: int = 2
     max_f_rounds: int = 10
+    # Checkpoint interval (columns) for the ck/trace path; None = max(1024,
+    # band).  Larger blocks shrink the device->host checkpoint readback
+    # ~1/CB at the price of longer native DT-burst segments (burst work
+    # grows ~linearly with CB at fixed error rate).
+    ck_col_block: int | None = None
+
+    def _cb(self, sw: int, n_max: int) -> int:
+        base = self.ck_col_block if self.ck_col_block else max(1024, sw)
+        return min(max(base, sw), max(n_max, 1))
 
     def cost(self, pairs) -> np.ndarray:
         costs, _ = self.cost_with_stats(pairs)
@@ -111,10 +120,17 @@ class BatchAligner:
         band = self.band_words
         pending = idxs
         attempt = 0
+        packed = None  # (args, B0, members): reused across rungs while the
+        # padded batch wouldn't shrink much — repacking costs host time and
+        # an upload per rung, extra already-certified lanes only device time
+        # (the cheap resource; cf. `astarpa2/src/domain.rs:452-455` reuse).
         while True:
-            bucket_pairs = [pairs[i] for i in pending]
-            args, B0 = pack_batch_staggered(bucket_pairs, self.lane_multiple)
-            args = self._shard(args)
+            if packed is None or 2 * len(pending) <= len(packed[2]):
+                bucket_pairs = [pairs[i] for i in pending]
+                args, B0 = pack_batch_staggered(bucket_pairs, self.lane_multiple)
+                args = self._shard(args)
+                packed = (args, B0, list(pending))
+            args, B0, members = packed
             a0, a1, pb0, pb1, n, m = args
             n_max, S = a0.shape[0], pb0.shape[0]
             sw = min(band, S)
@@ -126,7 +142,7 @@ class BatchAligner:
             costs = np.asarray(
                 self._kernel(a0, a1, pb0, pb1, n, m, sw, S)
             )[:B0]
-            stats.cells_computed += n_max * sw * W * len(pending)
+            stats.cells_computed += n_max * sw * W * len(members)
             if sw >= S:
                 # Full-height window: always exact.
                 ok = np.ones(B0, dtype=bool)
@@ -135,10 +151,16 @@ class BatchAligner:
                     sw, np.asarray(n)[:B0], np.asarray(m)[:B0], n_max, S * W
                 )
                 ok = costs <= thr
-            for i, c, o in zip(pending, costs, ok):
-                if o:
-                    out[i] = int(c)
-            pending = [i for i, o in zip(pending, ok) if not o]
+            pending_set = set(pending)
+            nxt = []
+            for slot, i in enumerate(members):
+                if i not in pending_set:
+                    continue
+                if ok[slot]:
+                    out[i] = int(costs[slot])
+                else:
+                    nxt.append(i)
+            pending = nxt
             if not pending:
                 return
             assert sw < S, "full-height window must certify every pair"
@@ -325,7 +347,7 @@ class BatchAligner:
                     ck_slices = (ckvp[:, :, sel], ckvm[:, :, sel], cktv[:, sel])
                     _start_host_copy(ck_slices)
                     # Must mirror _banded_call's effective (Q-rounded) CB.
-                    CB = min(max(1024, sw), max(n_max, 1))
+                    CB = self._cb(sw, n_max)
                     CB = max(quantum, CB // quantum * quantum)
                     for pos, slot in enumerate(done):
                         i = idxs[slot]
@@ -372,7 +394,7 @@ class BatchAligner:
         ndev = 1 if self.mesh is None else self.mesh.devices.size
         pp = _select_pp(B // ndev, sw, max_pp=1024 if want_ck else 2048)
         on_tpu = jax.default_backend() == "tpu" or self.pallas_interpret
-        CB = min(max(1024, sw), max(n_max, 1))
+        CB = self._cb(sw, n_max)
         if self.mesh is not None and on_tpu and pp >= 128:
             # Multi-chip product path: the per-pair Pallas kernel (cost or
             # checkpointing) runs on every shard via shard_map; schedules
@@ -556,13 +578,17 @@ class BatchAligner:
         pending = idxs
         attempt = 0
         trace_jobs: list = []
+        packed = None  # reused across rungs (see _run_bucket)
         try:
             while True:
-                bucket_pairs = [pairs[i] for i in pending]
-                args, B0 = pack_batch_staggered(
-                    bucket_pairs, self._pack_multiple(for_ck=True)
-                )
-                args = self._shard(args)
+                if packed is None or 2 * len(pending) <= len(packed[2]):
+                    bucket_pairs = [pairs[i] for i in pending]
+                    args, B0 = pack_batch_staggered(
+                        bucket_pairs, self._pack_multiple(for_ck=True)
+                    )
+                    args = self._shard(args)
+                    packed = (args, B0, list(pending))
+                args, B0, members = packed
                 a0, a1, pb0, pb1, n, m = args
                 n_max, S = a0.shape[0], pb0.shape[0]
                 sw = min(band, S)
@@ -583,11 +609,11 @@ class BatchAligner:
                     return
                 # DT bursts make long checkpoint intervals cheap, and the
                 # device->host readback shrinks with 1/CB.
-                CB = min(max(1024, sw), max(n_max, 1))
+                CB = self._cb(sw, n_max)
                 got, ckvp, ckvm, cktv = self._ck_kernel(
                     a0, a1, pb0, pb1, n, m, sw, CB, pp
                 )
-                stats.cells_computed += n_max * sw * W * len(pending)
+                stats.cells_computed += n_max * sw * W * len(members)
                 costs = np.asarray(got)[:B0]
                 if sw >= S:
                     ok = np.ones(B0, dtype=bool)
@@ -596,19 +622,23 @@ class BatchAligner:
                         sw, np.asarray(n)[:B0], np.asarray(m)[:B0], n_max, S * W
                     )
                     ok = costs <= thr
-                sel = np.nonzero(ok)[0]
-                next_pending = [i for i, o in zip(pending, ok) if not o]
-                if sel.size:
+                pending_set = set(pending)
+                sel = [slot for slot, i in enumerate(members)
+                       if i in pending_set and ok[slot]]
+                next_pending = [i for slot, i in enumerate(members)
+                                if i in pending_set and not ok[slot]]
+                if sel:
                     # Gather only certified pairs' checkpoints on device (the
                     # host link is the scarce resource), start the host copy
                     # async, and defer the traces until the whole ladder has
                     # dispatched — the next rung's kernel overlaps them.
+                    sel = np.asarray(sel)
                     ck_slices = (ckvp[:, :, sel], ckvm[:, :, sel], cktv[:, sel])
                     _start_host_copy(ck_slices)
                     shift = banded.shift_at_array(n_max, S, sw)
                     for pos, slot in enumerate(sel):
                         trace_jobs.append(_TraceJob(
-                            pair=pending[slot], slices=ck_slices, pos=pos,
+                            pair=members[slot], slices=ck_slices, pos=pos,
                             shift=shift, s_words=S, sw=sw, cb=CB,
                             want=int(costs[slot]),
                         ))
@@ -707,7 +737,7 @@ class BatchAligner:
             # recomputes stripes) in between (`trace.rs:231-416,71-125`).
             from ..ops.pallas_banded import banded_ck_tpu
 
-            CB = min(max(1024, sw), max(n_max, 1))
+            CB = self._cb(sw, n_max)
             got, ckvp, ckvm, cktv = banded_ck_tpu(
                 a0, a1, pb0, pb1, n, m,
                 band_words=sw, col_block=CB, pairs_per_program=pp,
@@ -924,7 +954,10 @@ LAST_KERNEL = None
 #: residency (~1.5x band) exceeds VMEM — sliding HBM-window takes over.
 PINNED_ENABLED = True
 PINNED_MIN_SW = 640
-PINNED_MAX_SW = 2816
+#: Above this the pinned residency (RW ~ SW + TB + D) exceeds scoped VMEM
+#: even at TB=256 (the kernel's own guard re-checks and the sliding
+#: HBM-window kernel takes over).
+PINNED_MAX_SW = 2240
 #: Per-pair schedules route to the pinned kernel (ops/pinned.py per-pair
 #: mode) above this band: the sliding per-pair kernel drops to PP=128 and
 #: ~0.35 Tcells/s there, while the pinned layout keeps full tiles.  Its

@@ -117,7 +117,10 @@ def main() -> None:
         c5_pairs = generate.generate_batch(
             16, 500_000, 0.15, generate.ErrorModel.UNIFORM, seed=7
         )
-        ba5 = BatchAligner(band_words=64, lane_multiple=128)
+        # e=15% distance (~0.13n) needs ~2048-word bands: start the ladder
+        # there (the big-band pinned regime) instead of paying 6 failed
+        # compile-heavy rungs.
+        ba5 = BatchAligner(band_words=2048, lane_multiple=128)
         ba5.cost(c5_pairs[:2])  # warm/compile on a slice
         runner_mod.LAST_KERNEL = None
         t0 = time.perf_counter()

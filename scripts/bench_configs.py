@@ -168,8 +168,10 @@ def bench_config5(quick):
             BatchAligner(band_words=8, lane_multiple=8), batch_size=8
         )
     else:
-        # The real config #5 shape: 500kbp ONT-like e=15% via per-pair
-        # gap-domain bands (gcsh on multi-core hosts).
+        # The real config #5 shape: 500kbp ONT-like e=15%.  The e=15%
+        # distance (~0.13*n) needs ~2048-word bands: starting the ladder
+        # there avoids compile-heavy failed rungs, and the shared pinned
+        # kernel (TB-shrunk residency) carries it at ~0.8-0.9 Tcells/s.
         pairs = [
             generate.generate_model(
                 500_000, 0.15, generate.ErrorModel.NOISY_INSERT, s
@@ -177,7 +179,7 @@ def bench_config5(quick):
             for s in range(4)
         ]
         runner = MultiHostRunner(
-            BatchAligner(band_words=512, lane_multiple=128, domain_mode="gap"),
+            BatchAligner(band_words=2048, lane_multiple=128),
             batch_size=4,
         )
     t0 = time.perf_counter()
