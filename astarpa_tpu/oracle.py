@@ -131,3 +131,38 @@ def dp_matrix(a: bytes, b: bytes) -> np.ndarray:
         cur = np.minimum(cur, i + 1 + np.arange(m, dtype=np.int32))
         D[i, 1:] = cur
     return D
+
+
+def levenshtein_myers(a: bytes, b: bytes) -> int:
+    """Exact distance via the native full-height Myers block backend
+    (`native/astarpa_native.cpp::block_compute`): O(n*m/32) with no
+    banding or heuristics, so it stays tractable at 500kbp+ where both
+    the numpy DP and the A* oracle do not.  Falls back to
+    :func:`levenshtein` when no native toolchain is available."""
+    from . import native
+
+    if not native.available() or not a or not b:
+        return levenshtein(a, b)
+    n, m = len(a), len(b)
+    S = (m + 31) // 32
+    bc = (np.frombuffer(b, np.uint8) >> 1) & 3
+    codes = np.full(S * 32, 3, np.uint8)
+    codes[:m] = bc
+    shifts = np.arange(32, dtype=np.uint32)
+    bits0 = ((codes & 1) ^ 1).astype(np.uint32).reshape(S, 32)
+    bits1 = (((codes >> 1) & 1) ^ 1).astype(np.uint32).reshape(S, 32)
+    pb0 = np.ascontiguousarray((bits0 << shifts).sum(axis=1, dtype=np.uint32))
+    pb1 = np.ascontiguousarray((bits1 << shifts).sum(axis=1, dtype=np.uint32))
+    ac = ((np.frombuffer(a, np.uint8) >> 1) & 3).astype(np.uint32)
+    a0 = np.ascontiguousarray((np.uint32(0) - (ac & 1)).astype(np.uint32))
+    a1 = np.ascontiguousarray(
+        (np.uint32(0) - ((ac >> 1) & 1)).astype(np.uint32)
+    )
+    vp = np.full(S, 0xFFFFFFFF, np.uint32)
+    vm = np.zeros(S, np.uint32)
+    hp = np.ones(n, np.uint32)
+    hm = np.zeros(n, np.uint32)
+    native.block_compute(a0, a1, pb0, pb1, vp, vm, hp, hm)
+    # block_compute leaves the bottom-row horizontal deltas per column in
+    # hp/hm; D(n, m) = m + sum of them.
+    return int(m + hp.astype(np.int64).sum() - hm.astype(np.int64).sum())

@@ -341,11 +341,9 @@ class BatchAligner:
                 if done and results is not None:
                     sel = np.asarray(done)
                     # Device-side gather of the certified pairs' checkpoints;
-                    # the host copies run async so the next rung's kernel
-                    # overlaps them, and the (thread-pooled) traces drain
-                    # once the ladder has dispatched everything.
+                    # readback + (thread-pooled) traces drain in chunks once
+                    # the ladder has dispatched everything.
                     ck_slices = (ckvp[:, :, sel], ckvm[:, :, sel], cktv[:, sel])
-                    _start_host_copy(ck_slices)
                     # Must mirror _banded_call's effective (Q-rounded) CB.
                     CB = self._cb(sw, n_max)
                     CB = max(quantum, CB // quantum * quantum)
@@ -629,12 +627,11 @@ class BatchAligner:
                                 if i in pending_set and not ok[slot]]
                 if sel:
                     # Gather only certified pairs' checkpoints on device (the
-                    # host link is the scarce resource), start the host copy
-                    # async, and defer the traces until the whole ladder has
-                    # dispatched — the next rung's kernel overlaps them.
+                    # host link is the scarce resource) and defer the traces
+                    # until the whole ladder has dispatched — readback then
+                    # streams in chunks behind the thread-pooled traces.
                     sel = np.asarray(sel)
                     ck_slices = (ckvp[:, :, sel], ckvm[:, :, sel], cktv[:, sel])
-                    _start_host_copy(ck_slices)
                     shift = banded.shift_at_array(n_max, S, sw)
                     for pos, slot in enumerate(sel):
                         trace_jobs.append(_TraceJob(
@@ -668,8 +665,12 @@ class BatchAligner:
         )
 
     def _flush_traces(self, trace_jobs: list, pairs, results) -> None:
-        """Drain deferred checkpoint traces, thread-parallel across pairs
-        (the native calls release the GIL).  Clears ``trace_jobs``."""
+        """Drain deferred checkpoint traces: the device->host checkpoint
+        readback streams in CHUNKS while a thread pool traces the chunks
+        that already arrived (the native calls release the GIL, and so
+        does the transfer wait) — on the slow-readback tunnel rig the
+        transfer hides behind the traces and vice versa.  Clears
+        ``trace_jobs``."""
         if not trace_jobs:
             return
         import os
@@ -677,31 +678,43 @@ class BatchAligner:
 
         from .. import native
 
-        host: dict[int, tuple] = {}
-
-        def run(job: "_TraceJob"):
-            vp, vm, tv = host[id(job.slices)]
+        def run(job: "_TraceJob", vp, vm, tv, pos):
             a, b = pairs[job.pair]
             cost, cigar = native.trace_banded_ck(
-                a, b, job.s_words, vp[:, :, job.pos], vm[:, :, job.pos],
-                tv[:, job.pos], job.shift, job.sw, job.cb,
+                a, b, job.s_words, vp[:, :, pos], vm[:, :, pos],
+                tv[:, pos], job.shift, job.sw, job.cb,
             )
             assert cost == job.want, (cost, job.want)
             return job.pair, cost, cigar
 
+        groups: dict[int, list] = {}
         for job in trace_jobs:
-            if id(job.slices) not in host:
-                host[id(job.slices)] = tuple(
-                    np.asarray(x) for x in job.slices
-                )
-        workers = min(len(trace_jobs), os.cpu_count() or 1)
-        if workers > 1:
-            with ThreadPoolExecutor(workers) as ex:
-                for i, cost, cigar in ex.map(run, trace_jobs):
-                    results[i] = (cost, cigar)
-        else:
-            for job in trace_jobs:
-                i, cost, cigar = run(job)
+            groups.setdefault(id(job.slices), []).append(job)
+        workers = max(1, min(len(trace_jobs), os.cpu_count() or 1))
+        futures = []
+        with ThreadPoolExecutor(workers) as ex:
+            for jobs in groups.values():
+                jobs.sort(key=lambda j: j.pos)
+                ckvp, ckvm, cktv = jobs[0].slices
+                # Chunked streaming only pays when the transfer is
+                # bandwidth-bound: below ~8MB the per-transfer latency
+                # (~150ms on the tunnel rig) would dominate 4 small
+                # transfers, so read back in one piece.
+                total_bytes = sum(int(x.size) * 4 for x in jobs[0].slices)
+                n_chunks = 4 if total_bytes > 8 * 2 ** 20 else 1
+                step = max(1, -(-len(jobs) // n_chunks))
+                for c0 in range(0, len(jobs), step):
+                    chunk = jobs[c0 : c0 + step]
+                    p0, p1 = chunk[0].pos, chunk[-1].pos + 1
+                    vp = np.asarray(ckvp[:, :, p0:p1])
+                    vm = np.asarray(ckvm[:, :, p0:p1])
+                    tv = np.asarray(cktv[:, p0:p1])
+                    for job in chunk:
+                        futures.append(
+                            ex.submit(run, job, vp, vm, tv, job.pos - p0)
+                        )
+            for f in futures:
+                i, cost, cigar = f.result()
                 results[i] = (cost, cigar)
         trace_jobs.clear()
 
@@ -842,16 +855,6 @@ class _TraceJob:
     sw: int
     cb: int
     want: int
-
-
-def _start_host_copy(arrays) -> None:
-    """Kick off async device->host copies (overlapped with later kernels);
-    silently a no-op on backends without the API."""
-    for x in arrays:
-        try:
-            x.copy_to_host_async()
-        except AttributeError:
-            pass
 
 
 @functools.lru_cache(maxsize=None)

@@ -179,7 +179,8 @@ def bench_config5(quick):
             for s in range(4)
         ]
         runner = MultiHostRunner(
-            BatchAligner(band_words=2048, lane_multiple=128),
+            BatchAligner(band_words=2048, lane_multiple=128,
+                         domain_mode="off"),
             batch_size=4,
         )
     t0 = time.perf_counter()
