@@ -182,6 +182,48 @@ def _pinned_kernel(
     vp, vm, aux, acc, tot, sc, p0v, p1v, axv, dma,
     *, RW: int, TB: int, D: int, SW: int,
 ):
+    r = dict(
+        enter=enter_ref, absorb=absorb_ref, top=top_ref, cap=cap_ref,
+        base=base_ref, roll=roll_ref, p0=p0_ref, p1=p1_ref, code=code_ref,
+        n=n_ref, m=m_ref, loend=loend_ref, out=out_ref,
+        vp=vp, vm=vm, aux=aux, acc=acc, tot=tot, sc=sc, p0v=p0v, p1v=p1v,
+        axv=axv, dma=dma,
+    )
+    _pinned_body(r, RW=RW, TB=TB, D=D, SW=SW, emit_ck=False)
+
+
+def _pinned_ck_kernel(
+    # scalar prefetch (+ckst: checkpoint-capture start bits over t)
+    enter_ref, absorb_ref, top_ref, cap_ref, base_ref, roll_ref, ckst_ref,
+    # inputs
+    p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
+    # outputs (+per-checkpoint window planes / top_val in HBM)
+    out_ref, ckvp_ref, ckvm_ref, cktv_ref,
+    # scratch (+8-row capture staging and its DMA semaphore)
+    vp, vm, aux, acc, tot, sc, p0v, p1v, axv, vst8, mst8, tvst, dma, dma2,
+    *, RW: int, TB: int, D: int, SW: int,
+):
+    r = dict(
+        enter=enter_ref, absorb=absorb_ref, top=top_ref, cap=cap_ref,
+        base=base_ref, roll=roll_ref, p0=p0_ref, p1=p1_ref, code=code_ref,
+        n=n_ref, m=m_ref, loend=loend_ref, out=out_ref,
+        vp=vp, vm=vm, aux=aux, acc=acc, tot=tot, sc=sc, p0v=p0v, p1v=p1v,
+        axv=axv, dma=dma,
+        ckst=ckst_ref, ckvp=ckvp_ref, ckvm=ckvm_ref, cktv=cktv_ref,
+        vst8=vst8, mst8=mst8, tvst=tvst, dma2=dma2,
+    )
+    _pinned_body(r, RW=RW, TB=TB, D=D, SW=SW, emit_ck=True)
+
+
+def _pinned_body(
+    r, *, RW: int, TB: int, D: int, SW: int, emit_ck: bool,
+):
+    enter_ref, absorb_ref, top_ref, cap_ref = r["enter"], r["absorb"], r["top"], r["cap"]
+    base_ref, roll_ref = r["base"], r["roll"]
+    p0_ref, p1_ref, code_ref = r["p0"], r["p1"], r["code"]
+    n_ref, m_ref, loend_ref, out_ref = r["n"], r["m"], r["loend"], r["out"]
+    vp, vm, aux, acc, tot, sc = r["vp"], r["vm"], r["aux"], r["acc"], r["tot"], r["sc"]
+    p0v, p1v, axv, dma = r["p0v"], r["p1v"], r["axv"], r["dma"]
     k = pl.program_id(1)
     p = pl.program_id(0)
     lanes = 128
@@ -212,6 +254,10 @@ def _pinned_kernel(
         tot[:] = jnp.zeros((8, lanes), jnp.int32)
         sc[0] = 0  # nextw   (next word to absorb == current top word)
         sc[1] = 0  # nextent (next word to enter)
+        if emit_ck:
+            sc[2] = 1   # next checkpoint index (row 0 = host-filled init)
+            sc[3] = SW  # capture row; SW = no capture window active
+            sc[5] = 0   # first captured word of the active window
 
     @pl.when((k > 0) & (roll_ref[k] > 0))
     def _compact():
@@ -311,6 +357,58 @@ def _pinned_kernel(
 
         jax.lax.fori_loop(0, ngrp - 1, grp_body, 0)
         group(jnp.concatenate([new0[None], aux[pl.ds(0, 7)]], 0), 0)
+
+        if emit_ck:
+            # -- checkpoint capture: the state "after column ckcol" lands
+            # on an anti-diagonal (word w finishes it at t = ckcol-1 + w),
+            # so the window planes are captured one row per step into an
+            # 8-row staging tile (iota8 select on the aligned sub-row) and
+            # DMA'd out per aligned group.  At the window start the top
+            # word IS the window top (no absorb can fire at that step),
+            # so w0 = sc[0]; top_val = columns-done + absorbed-sum
+            # (tot + acc; final-column capture contributions only ever
+            # pollute lanes whose pair already ended — their later
+            # checkpoints are never read by the traceback).
+            @pl.when(bit(r["ckst"], t))
+            def _ck_begin():
+                sc[3] = 0
+                sc[5] = sc[0]
+                ckcol = t - sc[0] + 1
+                r["tvst"][0] = tot[0] + jnp.sum(acc[:], axis=0) + ckcol
+                cpt = pltpu.make_async_copy(
+                    r["tvst"], r["cktv"].at[p, sc[2]], r["dma2"]
+                )
+                cpt.start()
+                cpt.wait()
+
+            @pl.when(sc[3] < SW)
+            def _ck_capture():
+                s = sc[3]
+                row = sc[5] + s - base_k
+                sel8 = iota8 == (s % 8)
+                r["vst8"][:] = jnp.where(sel8, vp[row][None, :], r["vst8"][:])
+                r["mst8"][:] = jnp.where(sel8, vm[row][None, :], r["mst8"][:])
+                sc[3] = s + 1
+
+                @pl.when(s % 8 == 7)
+                def _ck_flush8():
+                    s8 = s - 7
+                    cpv = pltpu.make_async_copy(
+                        r["vst8"], r["ckvp"].at[p, sc[2], pl.ds(s8, 8)],
+                        r["dma2"],
+                    )
+                    cpv.start()
+                    cpv.wait()
+                    cpm = pltpu.make_async_copy(
+                        r["mst8"], r["ckvm"].at[p, sc[2], pl.ds(s8, 8)],
+                        r["dma2"],
+                    )
+                    cpm.start()
+                    cpm.wait()
+
+                    @pl.when(s + 1 == SW)
+                    def _ck_done():
+                        sc[2] = sc[2] + 1
 
         # -- capture at each pair's final column (rare; when-gated): the
         # word on the capture diagonal adds its masked value.
@@ -879,3 +977,170 @@ def pinned_cost_pp_tpu(
         base,
         plan["roll"],
     )
+
+
+# --- checkpoint emission (big-band CIGAR path) -------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _pinned_ck_call(RW, TB, D, SW, ntiles, n_tb, n_ck, interpret):
+    kernel = functools.partial(_pinned_ck_kernel, RW=RW, TB=TB, D=D, SW=SW)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(ntiles, n_tb),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p0 (ntiles, S_pad, 128)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p1
+                pl.BlockSpec(memory_space=pltpu.ANY),  # code (ntiles, C_pad, 128)
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ckvp
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ckvm
+                pl.BlockSpec(memory_space=pltpu.ANY),  # cktv
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((RW, 128), jnp.uint32),
+                pltpu.VMEM((RW, 128), jnp.uint32),
+                pltpu.VMEM((RW, 128), jnp.uint32),
+                pltpu.VMEM((RW, 128), jnp.int32),
+                pltpu.VMEM((8, 128), jnp.int32),
+                pltpu.SMEM((8,), jnp.int32),
+                pltpu.VMEM((RW, 128), jnp.uint32),
+                pltpu.VMEM((RW, 128), jnp.uint32),
+                pltpu.VMEM((TB, 128), jnp.uint32),
+                pltpu.VMEM((8, 128), jnp.uint32),   # vst8 capture staging
+                pltpu.VMEM((8, 128), jnp.uint32),   # mst8
+                pltpu.VMEM((8, 128), jnp.int32),    # tvst
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,            # dma2: checkpoint writes
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, n_ck, SW, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((ntiles, n_ck, SW, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((ntiles, n_ck, 8, 128), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def pinned_ck_tpu(
+    a0, a1, pb0, pb1, n, m, band_words: int, col_block: int | None = None,
+    time_block: int = 1024, interpret: bool = False,
+):
+    """Big-band banded cost + per-block window checkpoints on the pinned
+    layout (shared bucket schedule).
+
+    Same contract as :func:`pallas_banded.banded_ck_tpu`: returns
+    ``(costs (B,), ck_vp (n_ck, SW, B), ck_vm, ck_tv (n_ck, B))`` where
+    checkpoint k is the window state + top_val after column ``k*CB``
+    (row 0 = the all-ones init), consumed unchanged by the native
+    ``trace_banded_ck``.  The state after column ckcol lies on an
+    anti-diagonal of the staggered schedule (word w finishes it at step
+    ckcol-1+w), captured row-by-row into an 8-row staging tile and DMA'd
+    out — requires ``CB >= SW`` so capture windows never overlap.
+    """
+    n_max, B = a0.shape
+    S = pb0.shape[0]
+    SW = min(band_words, S)
+    assert B % 128 == 0 and SW % 8 == 0
+    ntiles = B // 128
+    CB = col_block if col_block else max(1024, SW)
+    CB = min(max(CB, SW), max(n_max, 1))
+    n_ck = n_max // CB + 1
+
+    def _fits(p, tb):
+        return 10 * p["RW"] * 128 * 4 + 4 * tb * 128 * 4 <= 27 * 2 ** 19
+
+    plan = None
+    for TB_try in (time_block, 512, 256):
+        if TB_try > time_block:
+            continue
+        plan = _plan(n_max, S, SW, TB_try)
+        if _fits(plan, TB_try):
+            break
+    RW, TB, D, n_tb, T_pad = (
+        plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
+    )
+    base = plan["base"]
+    if not _fits(plan, TB):
+        raise ValueError(
+            f"pinned residency RW={RW} exceeds VMEM; use the sliding kernel"
+        )
+
+    n_np = np.asarray(n).astype(np.int64)
+    m_np = np.asarray(m).astype(np.int64)
+    lo = plan["lo"]
+    loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
+    cap_bits = np.zeros(T_pad, np.uint8)
+    for p in range(B):
+        if n_np[p] <= 0:
+            continue
+        t0 = int(n_np[p] - 1 + loend[p])
+        t1 = min(int(n_np[p] - 1 + loend[p] + SW), T_pad)
+        cap_bits[t0:t1] = 1
+
+    # Checkpoint-capture start bits: window k (k >= 1) begins at
+    # t = k*CB - 1 + lo[k*CB - 1].
+    ckst = np.zeros(T_pad, np.uint8)
+    for ck in range(1, n_ck):
+        ckcol = ck * CB
+        ckst[ckcol - 1 + int(lo[ckcol - 1])] = 1
+
+    S_pad = int(base.max(initial=0)) + RW
+    pb0j = jnp.asarray(pb0)
+    pb1j = jnp.asarray(pb1)
+    if S_pad > S:
+        pb0j = jnp.concatenate(
+            [pb0j, jnp.broadcast_to(pb0j[-1], (S_pad - S, B))], 0
+        )
+        pb1j = jnp.concatenate(
+            [pb1j, jnp.broadcast_to(pb1j[-1], (S_pad - S, B))], 0
+        )
+    code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
+        jnp.uint32
+    )
+    if T_pad > n_max:
+        code = jnp.concatenate(
+            [code, jnp.zeros((T_pad - n_max, B), jnp.uint32)], 0
+        )
+
+    out, ckvp, ckvm, cktv = _pinned_ck_call(
+        RW, TB, D, SW, ntiles, n_tb, n_ck, interpret
+    )(
+        jnp.asarray(plan["enter_bits"]),
+        jnp.asarray(plan["absorb_bits"]),
+        jnp.asarray(plan["top_bits"]),
+        jnp.asarray(_pack_bits_np(cap_bits)),
+        jnp.asarray(plan["base"]),
+        jnp.asarray(plan["roll"]),
+        jnp.asarray(_pack_bits_np(ckst)),
+        jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
+        jnp.moveaxis(pb1j.reshape(S_pad, ntiles, 128), 1, 0),
+        jnp.moveaxis(code.reshape(T_pad, ntiles, 128), 1, 0),
+        jnp.asarray(np.asarray(n, np.int32)).reshape(ntiles, 1, 128),
+        jnp.asarray(np.asarray(m, np.int32)).reshape(ntiles, 1, 128),
+        jnp.asarray(loend.astype(np.int32)).reshape(ntiles, 1, 128),
+    )
+    res = out.reshape(B) + jnp.asarray(n_np.astype(np.int32))
+    covered = (m_np - loend * W) <= SW * W
+    costs = jnp.where(jnp.asarray(covered), res, INF32)
+    # Checkpoint row 0 = the all-ones init (never written by the kernel).
+    ckvp = ckvp.at[:, 0].set(jnp.uint32(_ONES))
+    ckvm = ckvm.at[:, 0].set(jnp.uint32(0))
+    cktv = cktv.at[:, 0].set(0)
+    ckvp = jnp.moveaxis(ckvp, 0, 2).reshape(n_ck, SW, B)
+    ckvm = jnp.moveaxis(ckvm, 0, 2).reshape(n_ck, SW, B)
+    cktv = jnp.moveaxis(cktv[:, :, 0, :], 0, 1).reshape(n_ck, B)
+    return costs, ckvp, ckvm, cktv

@@ -8,6 +8,8 @@ Usage: python scripts/bench_pinned_pp.py [n_bp] [sw] [B]
 import sys
 import time
 
+sys.path.insert(0, ".")
+
 import numpy as np
 import jax
 import jax.numpy as jnp
