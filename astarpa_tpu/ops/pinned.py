@@ -108,6 +108,14 @@ def _residency(enter_bits: np.ndarray, absorb_bits: np.ndarray, T: int,
     )
 
 
+def _fits_shared(plan, tb: int) -> bool:
+    """Scoped-VMEM model for the shared/ck pinned kernels: ~10 RW-sized
+    stack arrays (6 persistent + step temporaries) + ~4 TB-sized stream
+    buffers <= 13.5MB (fitted from Mosaic OOM reports; measured 16.71M
+    at RW=3024/TB=1024 against the 16MB limit)."""
+    return 10 * plan["RW"] * 128 * 4 + 4 * tb * 128 * 4 <= 27 * 2 ** 19
+
+
 def _plan(n_max: int, S: int, SW: int, TB: int):
     """Host-side stagger plan for the bucket schedule.
 
@@ -496,22 +504,17 @@ def pinned_cost_tpu(
     # Residency is ~SW + TB + D (the initial word burst overlaps steady
     # entries): when a big band overflows VMEM at the default time block,
     # retry with smaller blocks before giving up — TB=256 lifts the usable
-    # shared-band ceiling to ~2.2k words.  Mosaic's scoped-VMEM stack holds
-    # ~10 RW-sized arrays (6 persistent + step temporaries) + ~4 TB-sized
-    # stream buffers (measured 16.71M at RW=3024/TB=1024).
-    def _fits(p, tb):
-        return 10 * p["RW"] * 128 * 4 + 4 * tb * 128 * 4 <= 27 * 2 ** 19  # 13.5MB
-
+    # shared-band ceiling to ~2.2k words.
     plan = None
     for TB_try in (time_block, 512, 256):
         if TB_try > time_block:
             continue
         plan = _plan(n_max, S, SW, TB_try)
-        if _fits(plan, TB_try):
+        if _fits_shared(plan, TB_try):
             break
     RW, TB, D, n_tb, T_pad = plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
     base = plan["base"]
-    if not _fits(plan, TB):
+    if not _fits_shared(plan, TB):
         raise ValueError(
             f"pinned residency RW={RW} exceeds VMEM; use the sliding kernel"
         )
@@ -1060,21 +1063,18 @@ def pinned_ck_tpu(
     CB = min(max(CB, SW), max(n_max, 1))
     n_ck = n_max // CB + 1
 
-    def _fits(p, tb):
-        return 10 * p["RW"] * 128 * 4 + 4 * tb * 128 * 4 <= 27 * 2 ** 19
-
     plan = None
     for TB_try in (time_block, 512, 256):
         if TB_try > time_block:
             continue
         plan = _plan(n_max, S, SW, TB_try)
-        if _fits(plan, TB_try):
+        if _fits_shared(plan, TB_try):
             break
     RW, TB, D, n_tb, T_pad = (
         plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
     )
     base = plan["base"]
-    if not _fits(plan, TB):
+    if not _fits_shared(plan, TB):
         raise ValueError(
             f"pinned residency RW={RW} exceeds VMEM; use the sliding kernel"
         )
