@@ -772,13 +772,11 @@ class BatchAligner:
         if (jax.default_backend() == "tpu" or self.pallas_interpret) and pp >= 128:
             # Checkpoint path: O(n/CB) readback; native C++ DT-bursts (or
             # recomputes stripes) in between (`trace.rs:231-416,71-125`).
-            from ..ops.pallas_banded import banded_ck_tpu
-
+            # Same dispatch as the combined ladder (pinned-ck for big
+            # shared bands, sliding otherwise).
             CB = self._cb(sw, n_max)
-            got, ckvp, ckvm, cktv = banded_ck_tpu(
-                a0, a1, pb0, pb1, n, m,
-                band_words=sw, col_block=CB, pairs_per_program=pp,
-                interpret=self.pallas_interpret,
+            got, ckvp, ckvm, cktv = self._ck_kernel(
+                a0, a1, pb0, pb1, n, m, sw, CB, pp
             )
             # Slice off the padding lanes on device: only the real pairs'
             # checkpoints cross the (slow) device->host link.
