@@ -1,0 +1,429 @@
+"""Striped pinned-word kernel: UNBOUNDED band heights via HBM carries.
+
+The pinned kernel (:mod:`pinned`) holds the whole resident band in VMEM,
+capping shared bands at ~2.2k words.  This kernel splits the band into
+STRIPES of ``WS`` ABSOLUTE words each and adds a stripe dimension to the
+grid (``(ntiles, n_stripes, n_tb)``, last dim fastest): for each stripe,
+all time blocks run before the next stripe starts, so only one stripe's
+v/aux state lives in VMEM at a time.
+
+The stagger glue between stripes is the horizontal carry at the stripe
+boundary: word ``w`` reads word ``w-1``'s packed code+carry word from
+step ``t-1``, so stripe s's bottom word stores its post-step ``aux`` row
+per step into an HBM carry plane (at index ``t+1``) that stripe s+1
+consumes at index ``t``.  Two planes alternate by stripe parity (a single
+plane would be clobbered at block boundaries by the consuming stripe's
+own output).  Stripe 0 merges its char codes over the (garbage) carry
+plane — its top word's input is always either the +1 top injection or
+below the band.
+
+Stripes are absolute word ranges: no residency compaction, no rolls; the
+per-stripe profile window is static (one DMA per stripe) and blocks
+where a stripe has no in-band words are skipped whole (scalar-prefetched
+activity flags), so total work stays ~n*SW cells plus O(TB) edge waste
+per stripe.
+
+Same contract as :func:`pinned.pinned_cost_tpu` (shared bucket schedule;
+results <= the sliding kernel's, same `band_threshold` certificate) with
+no VMEM band ceiling — SW may be the full profile height.  HBM cost: two
+(T_pad, B) uint32 carry planes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .banded import shift_at_array
+from .bitpack import W
+from .pinned import _pack_bits_np
+
+U32 = jnp.uint32
+_ONES = 0xFFFFFFFF
+INF32 = 1 << 30
+
+
+def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int):
+    """Host-side plan: per-word enter/absorb times bucketed per stripe,
+    per-stripe top bits, and per-(stripe, block) activity flags."""
+    shift = shift_at_array(n_max, S, SW)
+    lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int64)[1:]
+    n_words_live = int(lo[-1]) + SW
+    n_stripes = -(-n_words_live // WS)
+    nw_pad = n_stripes * WS
+    w_ids = np.arange(nw_pad, dtype=np.int64)
+    enterc = np.searchsorted(lo, np.maximum(w_ids - SW + 1, 0), side="left")
+    exitc = np.searchsorted(lo, w_ids + 1, side="left")
+    enter_t = enterc + w_ids
+    absorb_t = exitc + w_ids
+    T = int(n_max - 1 + n_words_live) + 1
+    n_tb = -(-T // TB)
+    T_pad = n_tb * TB
+
+    stripe_of_w = (w_ids // WS).astype(np.int64)
+    ent_bits = np.zeros((n_stripes, T_pad), np.uint8)
+    abs_bits = np.zeros((n_stripes, T_pad), np.uint8)
+    live = w_ids < n_words_live
+    ent_bits[stripe_of_w[live], enter_t[live]] = 1
+    ok = live & (exitc < n_max)
+    abs_bits[stripe_of_w[ok], absorb_t[ok]] = 1
+    top_t = np.arange(n_max, dtype=np.int64) + lo
+    top_bits = np.zeros((n_stripes, T_pad), np.uint8)
+    top_bits[lo // WS, top_t] = 1
+
+    # Activity: a stripe computes from its first word's enter to the last
+    # possible touch of its words (capture diagonal t = n_max-1 + w).
+    t_lo = enter_t[np.arange(n_stripes) * WS]
+    last_w = np.minimum((np.arange(n_stripes) + 1) * WS, n_words_live) - 1
+    t_hi = np.minimum(n_max - 1 + last_w + 1, T)
+    blk_active = np.zeros((n_stripes, n_tb + 1), np.int32)
+    for s in range(n_stripes):
+        b0 = int(t_lo[s] // TB)
+        b1 = int(-(-t_hi[s] // TB))
+        blk_active[s, b0:b1] = 1
+
+    return dict(
+        shift=shift, lo=lo, T=T, T_pad=T_pad, n_tb=n_tb, TB=TB, WS=WS,
+        n_stripes=n_stripes, n_words_live=n_words_live, nw_pad=nw_pad,
+        ent_bits=np.stack([_pack_bits_np(b) for b in ent_bits]),
+        abs_bits=np.stack([_pack_bits_np(b) for b in abs_bits]),
+        top_bits=np.stack([_pack_bits_np(b) for b in top_bits]),
+        blk_active=blk_active,
+    )
+
+
+def _striped_kernel(
+    # scalar prefetch
+    ent_ref, abs_ref, top_ref, cap_ref, act_ref,
+    # inputs (profile/code planes whole in HBM)
+    p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
+    # outputs (result + the two alternating boundary-carry planes)
+    out_ref, carA_ref, carB_ref,
+    # scratch
+    vp, vm, aux, acc, tot, sc, p0v, p1v, axv, cin, cst8, dma,
+    *, WS: int, TB: int, SW: int, n_stripes: int, FRONT: int,
+):
+    p = pl.program_id(0)
+    s = pl.program_id(1)
+    k = pl.program_id(2)
+    lanes = 128
+    base = s * WS  # absolute word index of this stripe's row 0
+    n_tb = pl.num_programs(2)
+
+    @pl.when((s == 0) & (k == 0))
+    def _zero_out():
+        out_ref[0, 0] = jnp.zeros((8, lanes), jnp.int32)[0]
+
+    first_active = (act_ref[s, k] > 0) & (
+        (k == 0) | (act_ref[s, jnp.maximum(k - 1, 0)] == 0)
+    )
+    last_active = (act_ref[s, k] > 0) & (act_ref[s, k + 1] == 0)
+
+    @pl.when(first_active)
+    def _stripe_init():
+        # Static per-stripe profile window: one DMA per stripe.
+        cp0 = pltpu.make_async_copy(p0_ref.at[p, pl.ds(base, WS)], p0v, dma)
+        cp0.start()
+        cp0.wait()
+        cp1 = pltpu.make_async_copy(p1_ref.at[p, pl.ds(base, WS)], p1v, dma)
+        cp1.start()
+        cp1.wait()
+        vp[:] = jnp.full((WS, lanes), _ONES, U32)
+        vm[:] = jnp.zeros((WS, lanes), U32)
+        aux[:] = jnp.zeros((WS, lanes), U32)
+        acc[:] = jnp.zeros((WS, lanes), jnp.int32)
+        tot[:] = jnp.zeros((8, lanes), jnp.int32)
+        sc[0] = base  # next word of THIS stripe to absorb
+        sc[1] = base  # next word of THIS stripe to enter
+
+    @pl.when(act_ref[s, k] > 0)
+    def _active_block():
+        # This block's char chunk: column c = t - base enters at slot 0
+        # (front-padded so the offset never goes negative).
+        cax = pltpu.make_async_copy(
+            code_ref.at[p, pl.ds(FRONT + k * TB - base, TB)], axv, dma
+        )
+        cax.start()
+        cax.wait()
+
+        n = n_ref[0, 0]
+        m = m_ref[0, 0]
+        loend = loend_ref[0, 0]
+        pc = lambda x: jax.lax.population_count(x).astype(jnp.int32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (WS, lanes), 0)
+        ngrp = WS // 8
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+
+        def bit(ref, t):
+            return (ref[s, t >> 5] >> (t & 31)) & 1 > 0
+
+        def run(cin_ref, cout_ref):
+            # Incoming boundary carries: upstream stripe's aux rows,
+            # stored at index t+1 when produced at step t -> read [kTB,
+            # kTB+TB) for steps consuming carries of t-1.
+            cri = pltpu.make_async_copy(
+                cin_ref.at[p, pl.ds(k * TB, TB)], cin, dma
+            )
+            cri.start()
+            cri.wait()
+
+            def step(tt, carry):
+                t = k * TB + tt
+
+                @pl.when(bit(abs_ref, t))
+                def _absorb():
+                    srel = sc[0] - base
+                    alive = ((t - sc[0]) <= n - 1)[None, :]
+                    sel = (iota == srel) & alive
+                    acc[:] = acc[:] + jnp.where(sel, pc(vp[:]) - pc(vm[:]), 0)
+                    sc[0] = sc[0] + 1
+
+                @pl.when(bit(ent_ref, t))
+                def _enter():
+                    sel = iota == (sc[1] - base)
+                    vp[:] = jnp.where(sel, U32(_ONES), vp[:])
+                    vm[:] = jnp.where(sel, U32(0), vm[:])
+                    sc[1] = sc[1] + 1
+
+                top_now = bit(top_ref, t)
+                s_top = sc[0] - base
+                # Slot 0's input: the upstream boundary word at step t-1.
+                # Its code bits equal this stripe's own column code (same
+                # column t - base), so merging from axv is exact for s>0
+                # and makes stripe 0 (garbage carry plane) correct too:
+                # stripe 0's top word is always either injection-overridden
+                # or above/below the live band.
+                up0 = (axv[tt] & U32(3)) | (cin[tt] & ~U32(3))
+
+                def group(up, b8):
+                    sel_top = top_now & ((iota8 + b8) == s_top)
+                    auxg = jnp.where(sel_top, (up & U32(3)) | U32(4), up)
+                    code = auxg & 3
+                    hp = (auxg >> 2) & 1
+                    hm = auxg >> 3
+                    a0m = jnp.zeros((8, lanes), U32) - (code & 1)
+                    a1m = jnp.zeros((8, lanes), U32) - (code >> 1)
+                    eqg = (a0m ^ p0v[pl.ds(b8, 8)]) & (a1m ^ p1v[pl.ds(b8, 8)])
+                    vpw = vp[pl.ds(b8, 8)]
+                    vmw = vm[pl.ds(b8, 8)]
+                    vx = eqg | vmw
+                    eq2 = eqg | hm
+                    hx = (((eq2 & vpw) + vpw) ^ vpw) | eq2
+                    hpo = vmw | ~(hx | vpw)
+                    hmo = vpw & hx
+                    hp_n = hpo >> (W - 1)
+                    hm_n = hmo >> (W - 1)
+                    hpo = (hpo << 1) | hp
+                    hmo = (hmo << 1) | hm
+                    vp[pl.ds(b8, 8)] = hmo | ~(vx | hpo)
+                    vm[pl.ds(b8, 8)] = hpo & vx
+                    aux[pl.ds(b8, 8)] = code | (hp_n << 2) | (hm_n << 3)
+                    return 0
+
+                def grp_body(i, c):
+                    g = (ngrp - 1) - i
+                    b8 = g * 8
+                    group(aux[pl.ds(b8 - 1, 8)], b8)
+                    return c
+
+                jax.lax.fori_loop(0, ngrp - 1, grp_body, 0)
+                group(jnp.concatenate([up0[None], aux[pl.ds(0, 7)]], 0), 0)
+
+                # Boundary carry out: the bottom word's post-step aux row,
+                # staged 8 steps at a time (dynamic single-row writes are
+                # illegal on Mosaic) and DMA'd to index t+1.
+                cst8[:] = jnp.where(
+                    iota8 == (tt % 8), aux[WS - 1][None, :], cst8[:]
+                )
+
+                @pl.when(tt % 8 == 7)
+                def _carry_flush():
+                    co = pltpu.make_async_copy(
+                        cst8, cout_ref.at[p, pl.ds(t - 7 + 1, 8)], dma
+                    )
+                    co.start()
+                    co.wait()
+
+                @pl.when(bit(cap_ref, t))
+                def _capture():
+                    w_abs = iota + base
+                    on_diag = w_abs == (t + 1) - n[None, :]
+                    in_band = (w_abs >= loend[None, :]) & (
+                        w_abs < loend[None, :] + SW
+                    )
+                    rows = m[None, :] - w_abs * W
+                    full = jnp.clip(rows, 0, W)
+                    mask = jnp.where(
+                        full >= W, U32(_ONES),
+                        (U32(1) << full.astype(U32)) - U32(1),
+                    )
+                    sel = on_diag & in_band
+                    acc[:] = acc[:] + jnp.where(
+                        sel, pc(vp[:] & mask) - pc(vm[:] & mask), 0
+                    )
+
+                return carry
+
+            jax.lax.fori_loop(0, TB, step, 0)
+
+        @pl.when(s % 2 == 0)
+        def _even():
+            run(carA_ref, carB_ref)
+
+        @pl.when(s % 2 == 1)
+        def _odd():
+            run(carB_ref, carA_ref)
+
+    # Fold this stripe's contribution into the running result.
+    @pl.when(last_active)
+    def _fold():
+        out_ref[0, 0] = out_ref[0, 0] + tot[0] + jnp.sum(acc[:], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _striped_call(WS, TB, SW, ntiles, n_stripes, n_tb, T_pad, FRONT,
+                  interpret):
+    kernel = functools.partial(
+        _striped_kernel, WS=WS, TB=TB, SW=SW, n_stripes=n_stripes,
+        FRONT=FRONT,
+    )
+    car_shape = jax.ShapeDtypeStruct((ntiles, T_pad + 8, 128), jnp.uint32)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(ntiles, n_stripes, n_tb),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p0 (ntiles, nw_pad, 128)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p1
+                pl.BlockSpec(memory_space=pltpu.ANY),  # code (ntiles, FRONT+T_pad, 128)
+                pl.BlockSpec((1, 1, 128), lambda p, s, k, *a: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, s, k, *a: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, s, k, *a: (p, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, 128), lambda p, s, k, *a: (p, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # carry plane A
+                pl.BlockSpec(memory_space=pltpu.ANY),  # carry plane B
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((WS, 128), jnp.uint32),   # vp
+                pltpu.VMEM((WS, 128), jnp.uint32),   # vm
+                pltpu.VMEM((WS, 128), jnp.uint32),   # aux
+                pltpu.VMEM((WS, 128), jnp.int32),    # acc
+                pltpu.VMEM((8, 128), jnp.int32),     # tot
+                pltpu.SMEM((8,), jnp.int32),         # counters
+                pltpu.VMEM((WS, 128), jnp.uint32),   # p0v
+                pltpu.VMEM((WS, 128), jnp.uint32),   # p1v
+                pltpu.VMEM((TB, 128), jnp.uint32),   # axv (code chunk)
+                pltpu.VMEM((TB, 128), jnp.uint32),   # cin (carry chunk)
+                pltpu.VMEM((8, 128), jnp.uint32),    # cst8 carry staging
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 1, 128), jnp.int32),
+            car_shape,
+            car_shape,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def striped_cost_tpu(
+    a0, a1, pb0, pb1, n, m, band_words: int, stripe_words: int = 1024,
+    time_block: int = 512, interpret: bool = False,
+):
+    """Banded (or full-height) edit distances with HBM-striped state.
+
+    Same contract as :func:`pinned.pinned_cost_tpu` — shared bucket
+    schedule, results <= the sliding kernel's, `band_threshold`
+    certifies — but the band height is unbounded: pass
+    ``band_words >= S`` for exact full-height DP.  Costs two
+    (T, B) uint32 HBM carry planes.
+    """
+    n_max, B = a0.shape
+    S = pb0.shape[0]
+    SW = min(band_words, S)
+    assert B % 128 == 0
+    ntiles = B // 128
+    WS = stripe_words
+    assert WS % 8 == 0
+
+    plan = _plan_striped(n_max, S, SW, WS, time_block)
+    TB, n_tb, T_pad = plan["TB"], plan["n_tb"], plan["T_pad"]
+    n_stripes, nw_pad = plan["n_stripes"], plan["nw_pad"]
+    lo = plan["lo"]
+
+    n_np = np.asarray(n).astype(np.int64)
+    m_np = np.asarray(m).astype(np.int64)
+    loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
+    # Per-(stripe, t) capture bits: pair p's final-column diagonal crosses
+    # stripe s at t = n_p - 1 + w for w in [loend_p, loend_p+SW) n stripe.
+    cap_bits = np.zeros((n_stripes, T_pad), np.uint8)
+    for p in range(B):
+        if n_np[p] <= 0:
+            continue
+        w0, w1 = int(loend[p]), int(min(loend[p] + SW, nw_pad))
+        for s in range(w0 // WS, -(-w1 // WS)):
+            a_, b_ = max(w0, s * WS), min(w1, (s + 1) * WS)
+            t0 = int(n_np[p] - 1 + a_)
+            t1 = min(int(n_np[p] - 1 + b_), T_pad)
+            if t0 < t1:
+                cap_bits[s, t0:t1] = 1
+    cap_packed = np.stack([_pack_bits_np(b) for b in cap_bits])
+
+    # Profile planes padded to the stripe grid (clamp-last rows), code
+    # plane front-padded so per-block offsets never go negative.
+    FRONT = nw_pad
+    pb0j = jnp.asarray(pb0)
+    pb1j = jnp.asarray(pb1)
+    if nw_pad > S:
+        pb0j = jnp.concatenate(
+            [pb0j, jnp.broadcast_to(pb0j[-1], (nw_pad - S, B))], 0
+        )
+        pb1j = jnp.concatenate(
+            [pb1j, jnp.broadcast_to(pb1j[-1], (nw_pad - S, B))], 0
+        )
+    else:
+        pb0j = pb0j[:nw_pad]
+        pb1j = pb1j[:nw_pad]
+    code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
+        jnp.uint32
+    )
+    code = jnp.concatenate(
+        [
+            jnp.zeros((FRONT, B), jnp.uint32),
+            code,
+            jnp.zeros((max(T_pad - n_max, 0), B), jnp.uint32),
+        ],
+        0,
+    )[: FRONT + T_pad]
+
+    out, _carA, _carB = _striped_call(
+        WS, TB, SW, ntiles, n_stripes, n_tb, T_pad, FRONT, interpret
+    )(
+        jnp.asarray(plan["ent_bits"]),
+        jnp.asarray(plan["abs_bits"]),
+        jnp.asarray(plan["top_bits"]),
+        jnp.asarray(cap_packed),
+        jnp.asarray(plan["blk_active"]),
+        jnp.moveaxis(pb0j.reshape(nw_pad, ntiles, 128), 1, 0),
+        jnp.moveaxis(pb1j.reshape(nw_pad, ntiles, 128), 1, 0),
+        jnp.moveaxis(code.reshape(FRONT + T_pad, ntiles, 128), 1, 0),
+        jnp.asarray(np.asarray(n, np.int32)).reshape(ntiles, 1, 128),
+        jnp.asarray(np.asarray(m, np.int32)).reshape(ntiles, 1, 128),
+        jnp.asarray(loend.astype(np.int32)).reshape(ntiles, 1, 128),
+    )
+    res = out.reshape(B) + jnp.asarray(n_np.astype(np.int32))
+    covered = (m_np - loend * W) <= SW * W
+    return jnp.where(jnp.asarray(covered), res, INF32)

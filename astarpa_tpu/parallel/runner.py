@@ -1020,6 +1020,24 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
             return out
         except (ValueError, jax.errors.JaxRuntimeError):
             pass  # residency over VMEM for this bucket; sliding below
+    if (
+        PINNED_ENABLED
+        and on_tpu
+        and not interpret
+        and sw > PINNED_MAX_SW
+        and B % 128 == 0
+        and not isinstance(a0, jax.core.Tracer)
+    ):
+        # Bands beyond the pinned VMEM ceiling (including the full-height
+        # ladder clamp): HBM-striped state, no band ceiling.
+        from ..ops.striped import striped_cost_tpu
+
+        try:
+            out = striped_cost_tpu(a0, a1, pb0, pb1, n, m, band_words=sw)
+            LAST_KERNEL = "striped"
+            return out
+        except (ValueError, jax.errors.JaxRuntimeError):
+            pass
     pp = _select_pp(B, sw)
     use_pallas = pp >= 128 and (on_tpu or interpret)
     LAST_KERNEL = "pallas" if use_pallas else "jnp"
