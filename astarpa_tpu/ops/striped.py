@@ -41,16 +41,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .banded import shift_at_array
 from .bitpack import W
-from .pinned import _pack_bits_np
 
 U32 = jnp.uint32
 _ONES = 0xFFFFFFFF
 INF32 = 1 << 30
 
 
+_NEVER = np.int32(2 ** 30)
+
+
 def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int):
-    """Host-side plan: per-word enter/absorb times bucketed per stripe,
-    per-stripe top bits, and per-(stripe, block) activity flags."""
+    """Host-side plan.  SMEM is 1MB: per-(stripe, t) bit planes would be
+    O(n_stripes * T) and blow it at long reads, so events ship as
+    per-WORD times (enter_t/absorb_t, read at the word counters — SMEM
+    O(words)) plus per-stripe scalar windows:
+
+      top ownership [own0, own1): stripe s owns the band top while
+        lo(c) is inside it; within the window every step is a top event
+        EXCEPT absorb steps (the c + lo(c) map skips exactly those),
+      capture window [cap0, cap1): a superset range per stripe (the
+        in-kernel per-pair masks are exact; extra steps are no-ops),
+      block activity flags (n_stripes, n_tb + 1)."""
     shift = shift_at_array(n_max, S, SW)
     lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int64)[1:]
     n_words_live = int(lo[-1]) + SW
@@ -59,30 +70,31 @@ def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int):
     w_ids = np.arange(nw_pad, dtype=np.int64)
     enterc = np.searchsorted(lo, np.maximum(w_ids - SW + 1, 0), side="left")
     exitc = np.searchsorted(lo, w_ids + 1, side="left")
-    enter_t = enterc + w_ids
-    absorb_t = exitc + w_ids
     T = int(n_max - 1 + n_words_live) + 1
     n_tb = -(-T // TB)
     T_pad = n_tb * TB
 
-    stripe_of_w = (w_ids // WS).astype(np.int64)
-    ent_bits = np.zeros((n_stripes, T_pad), np.uint8)
-    abs_bits = np.zeros((n_stripes, T_pad), np.uint8)
     live = w_ids < n_words_live
-    ent_bits[stripe_of_w[live], enter_t[live]] = 1
-    ok = live & (exitc < n_max)
-    abs_bits[stripe_of_w[ok], absorb_t[ok]] = 1
-    top_t = np.arange(n_max, dtype=np.int64) + lo
-    top_bits = np.zeros((n_stripes, T_pad), np.uint8)
-    top_bits[lo // WS, top_t] = 1
+    ent_t = np.where(live, enterc + w_ids, _NEVER).astype(np.int32)
+    abs_t = np.where(
+        live & (exitc < n_max), exitc + w_ids, _NEVER
+    ).astype(np.int32)
 
-    # Activity: a stripe computes from its first word's enter to the last
-    # possible touch of its words (capture diagonal t = n_max-1 + w).
-    t_lo = enter_t[np.arange(n_stripes) * WS]
+    bases = np.arange(n_stripes, dtype=np.int64) * WS
+    c0 = np.searchsorted(lo, bases, side="left")  # lo reaches base
+    c1 = np.searchsorted(lo, bases + WS, side="left")  # lo leaves stripe
+    own0 = np.where(bases == 0, 0, c0 + bases).astype(np.int32)
+    own1 = np.minimum(c1 + bases + WS, T).astype(np.int32)
+    own1 = np.where(c0 >= n_max, own0, own1)  # top never enters stripe
+
+    # Activity: first word's enter to the last capture-diagonal touch.
+    t_lo = ent_t[np.arange(n_stripes) * WS].astype(np.int64)
     last_w = np.minimum((np.arange(n_stripes) + 1) * WS, n_words_live) - 1
     t_hi = np.minimum(n_max - 1 + last_w + 1, T)
     blk_active = np.zeros((n_stripes, n_tb + 1), np.int32)
     for s in range(n_stripes):
+        if t_lo[s] >= T:
+            continue
         b0 = int(t_lo[s] // TB)
         b1 = int(-(-t_hi[s] // TB))
         blk_active[s, b0:b1] = 1
@@ -90,16 +102,14 @@ def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int):
     return dict(
         shift=shift, lo=lo, T=T, T_pad=T_pad, n_tb=n_tb, TB=TB, WS=WS,
         n_stripes=n_stripes, n_words_live=n_words_live, nw_pad=nw_pad,
-        ent_bits=np.stack([_pack_bits_np(b) for b in ent_bits]),
-        abs_bits=np.stack([_pack_bits_np(b) for b in abs_bits]),
-        top_bits=np.stack([_pack_bits_np(b) for b in top_bits]),
+        ent_t=ent_t, abs_t=abs_t, own0=own0, own1=own1,
         blk_active=blk_active,
     )
 
 
 def _striped_kernel(
     # scalar prefetch
-    ent_ref, abs_ref, top_ref, cap_ref, act_ref,
+    ent_ref, abs_ref, own0_ref, own1_ref, cap0_ref, cap1_ref, act_ref,
     # inputs (profile/code planes whole in HBM)
     p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
     # outputs (result + the two alternating boundary-carry planes)
@@ -159,9 +169,6 @@ def _striped_kernel(
         ngrp = WS // 8
         iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
 
-        def bit(ref, t):
-            return (ref[s, t >> 5] >> (t & 31)) & 1 > 0
-
         def run(cin_ref, cout_ref):
             # Incoming boundary carries: upstream stripe's aux rows,
             # stored at index t+1 when produced at step t -> read [kTB,
@@ -174,8 +181,12 @@ def _striped_kernel(
 
             def step(tt, carry):
                 t = k * TB + tt
+                # Event times read at the word counters (dynamic SMEM
+                # indices): was_abs BEFORE the counter moves — top events
+                # are exactly the non-absorb steps of the ownership window.
+                was_abs = t == abs_ref[sc[0]]
 
-                @pl.when(bit(abs_ref, t))
+                @pl.when(was_abs)
                 def _absorb():
                     srel = sc[0] - base
                     alive = ((t - sc[0]) <= n - 1)[None, :]
@@ -183,14 +194,17 @@ def _striped_kernel(
                     acc[:] = acc[:] + jnp.where(sel, pc(vp[:]) - pc(vm[:]), 0)
                     sc[0] = sc[0] + 1
 
-                @pl.when(bit(ent_ref, t))
+                @pl.when(t == ent_ref[sc[1]])
                 def _enter():
                     sel = iota == (sc[1] - base)
                     vp[:] = jnp.where(sel, U32(_ONES), vp[:])
                     vm[:] = jnp.where(sel, U32(0), vm[:])
                     sc[1] = sc[1] + 1
 
-                top_now = bit(top_ref, t)
+                top_now = (
+                    (t >= own0_ref[s]) & (t < own1_ref[s])
+                    & jnp.logical_not(was_abs)
+                )
                 s_top = sc[0] - base
                 # Slot 0's input: the upstream boundary word at step t-1.
                 # Its code bits equal this stripe's own column code (same
@@ -249,7 +263,7 @@ def _striped_kernel(
                     co.start()
                     co.wait()
 
-                @pl.when(bit(cap_ref, t))
+                @pl.when((t >= cap0_ref[s]) & (t < cap1_ref[s]))
                 def _capture():
                     w_abs = iota + base
                     on_diag = w_abs == (t + 1) - n[None, :]
@@ -296,7 +310,7 @@ def _striped_call(WS, TB, SW, ntiles, n_stripes, n_tb, T_pad, FRONT,
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=7,
             grid=(ntiles, n_stripes, n_tb),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # p0 (ntiles, nw_pad, 128)
@@ -367,20 +381,18 @@ def striped_cost_tpu(
     n_np = np.asarray(n).astype(np.int64)
     m_np = np.asarray(m).astype(np.int64)
     loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
-    # Per-(stripe, t) capture bits: pair p's final-column diagonal crosses
-    # stripe s at t = n_p - 1 + w for w in [loend_p, loend_p+SW) n stripe.
-    cap_bits = np.zeros((n_stripes, T_pad), np.uint8)
-    for p in range(B):
-        if n_np[p] <= 0:
-            continue
-        w0, w1 = int(loend[p]), int(min(loend[p] + SW, nw_pad))
-        for s in range(w0 // WS, -(-w1 // WS)):
-            a_, b_ = max(w0, s * WS), min(w1, (s + 1) * WS)
-            t0 = int(n_np[p] - 1 + a_)
-            t1 = min(int(n_np[p] - 1 + b_), T_pad)
-            if t0 < t1:
-                cap_bits[s, t0:t1] = 1
-    cap_packed = np.stack([_pack_bits_np(b) for b in cap_bits])
+    # Per-stripe capture window [cap0, cap1): the union over pairs of the
+    # final-column diagonal's crossing of the stripe — a scalar superset
+    # range (in-kernel per-pair masks are exact; extra steps are no-ops).
+    cap0 = np.zeros(n_stripes, np.int32)
+    cap1 = np.zeros(n_stripes, np.int32)
+    for s in range(n_stripes):
+        st = n_np - 1 + np.maximum(loend, s * WS)
+        en = n_np - 1 + np.minimum(loend + SW, (s + 1) * WS)
+        valid = (en > st) & (n_np > 0)
+        if valid.any():
+            cap0[s] = int(st[valid].min())
+            cap1[s] = int(min(en[valid].max(), T_pad))
 
     # Profile planes padded to the stripe grid (clamp-last rows), code
     # plane front-padded so per-block offsets never go negative.
@@ -412,10 +424,12 @@ def striped_cost_tpu(
     out, _carA, _carB = _striped_call(
         WS, TB, SW, ntiles, n_stripes, n_tb, T_pad, FRONT, interpret
     )(
-        jnp.asarray(plan["ent_bits"]),
-        jnp.asarray(plan["abs_bits"]),
-        jnp.asarray(plan["top_bits"]),
-        jnp.asarray(cap_packed),
+        jnp.asarray(np.concatenate([plan["ent_t"], np.full(8, _NEVER)])),
+        jnp.asarray(np.concatenate([plan["abs_t"], np.full(8, _NEVER)])),
+        jnp.asarray(plan["own0"]),
+        jnp.asarray(plan["own1"]),
+        jnp.asarray(cap0),
+        jnp.asarray(cap1),
         jnp.asarray(plan["blk_active"]),
         jnp.moveaxis(pb0j.reshape(nw_pad, ntiles, 128), 1, 0),
         jnp.moveaxis(pb1j.reshape(nw_pad, ntiles, 128), 1, 0),
