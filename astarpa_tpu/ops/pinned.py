@@ -147,12 +147,24 @@ def _plan(n_max: int, S: int, SW: int, TB: int):
     top_bits[top_t] = 1
 
     plan = _residency(enter_bits, absorb_bits, T, TB)
-    T_pad = plan["T_pad"]
+    # Events ship as per-WORD times read at the word counters + scalar
+    # windows, NOT per-t bit planes: Mosaic compile time scales with the
+    # scalar-prefetch footprint (measured ~14min -> ~40s on the striped
+    # kernel), and top events are exactly the non-absorb steps up to the
+    # last top time (the c + lo(c) map skips absorb times).
+    NEVER = np.int32(2 ** 30)
     plan.update(
         shift=shift, lo=lo, n_words_live=n_words_live,
-        enter_bits=_pack_bits_np(np.pad(enter_bits, (0, T_pad - T))),
-        absorb_bits=_pack_bits_np(np.pad(absorb_bits, (0, T_pad - T))),
-        top_bits=_pack_bits_np(np.pad(top_bits, (0, T_pad - T))),
+        ent_t=np.concatenate(
+            [enter_t.astype(np.int32), np.full(8, NEVER, np.int32)]
+        ),
+        abs_t=np.concatenate(
+            [
+                np.where(exitc < n_max, absorb_t, NEVER).astype(np.int32),
+                np.full(8, NEVER, np.int32),
+            ]
+        ),
+        last_top=np.int32(top_t[-1]),
     )
     return plan
 
@@ -181,7 +193,7 @@ def _plan_pp(lo_min: np.ndarray, lo_max: np.ndarray, SW: int, TB: int):
 
 def _pinned_kernel(
     # scalar prefetch
-    enter_ref, absorb_ref, top_ref, cap_ref, base_ref, roll_ref,
+    ent_ref, abs_ref, lims_ref, base_ref, roll_ref,
     # inputs (profile + char planes whole in HBM; windows DMA'd per block)
     p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
     # output
@@ -191,7 +203,7 @@ def _pinned_kernel(
     *, RW: int, TB: int, D: int, SW: int,
 ):
     r = dict(
-        enter=enter_ref, absorb=absorb_ref, top=top_ref, cap=cap_ref,
+        ent=ent_ref, abs=abs_ref, lims=lims_ref,
         base=base_ref, roll=roll_ref, p0=p0_ref, p1=p1_ref, code=code_ref,
         n=n_ref, m=m_ref, loend=loend_ref, out=out_ref,
         vp=vp, vm=vm, aux=aux, acc=acc, tot=tot, sc=sc, p0v=p0v, p1v=p1v,
@@ -201,8 +213,8 @@ def _pinned_kernel(
 
 
 def _pinned_ck_kernel(
-    # scalar prefetch (+ckst: checkpoint-capture start bits over t)
-    enter_ref, absorb_ref, top_ref, cap_ref, base_ref, roll_ref, ckst_ref,
+    # scalar prefetch (+ckst: per-checkpoint capture start times)
+    ent_ref, abs_ref, lims_ref, base_ref, roll_ref, ckst_ref,
     # inputs
     p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
     # outputs (+per-checkpoint window planes / top_val in HBM)
@@ -212,7 +224,7 @@ def _pinned_ck_kernel(
     *, RW: int, TB: int, D: int, SW: int,
 ):
     r = dict(
-        enter=enter_ref, absorb=absorb_ref, top=top_ref, cap=cap_ref,
+        ent=ent_ref, abs=abs_ref, lims=lims_ref,
         base=base_ref, roll=roll_ref, p0=p0_ref, p1=p1_ref, code=code_ref,
         n=n_ref, m=m_ref, loend=loend_ref, out=out_ref,
         vp=vp, vm=vm, aux=aux, acc=acc, tot=tot, sc=sc, p0v=p0v, p1v=p1v,
@@ -226,7 +238,7 @@ def _pinned_ck_kernel(
 def _pinned_body(
     r, *, RW: int, TB: int, D: int, SW: int, emit_ck: bool,
 ):
-    enter_ref, absorb_ref, top_ref, cap_ref = r["enter"], r["absorb"], r["top"], r["cap"]
+    ent_ref, abs_ref, lims_ref = r["ent"], r["abs"], r["lims"]
     base_ref, roll_ref = r["base"], r["roll"]
     p0_ref, p1_ref, code_ref = r["p0"], r["p1"], r["code"]
     n_ref, m_ref, loend_ref, out_ref = r["n"], r["m"], r["loend"], r["out"]
@@ -262,9 +274,12 @@ def _pinned_body(
         tot[:] = jnp.zeros((8, lanes), jnp.int32)
         sc[0] = 0  # nextw   (next word to absorb == current top word)
         sc[1] = 0  # nextent (next word to enter)
+        sc[6] = abs_ref[0]  # cached next absorb time
+        sc[7] = ent_ref[0]  # cached next enter time
         if emit_ck:
             sc[2] = 1   # next checkpoint index (row 0 = host-filled init)
             sc[3] = SW  # capture row; SW = no capture window active
+            sc[4] = r["ckst"][1]  # cached next checkpoint start time
             sc[5] = 0   # first captured word of the active window
 
     @pl.when((k > 0) & (roll_ref[k] > 0))
@@ -299,26 +314,33 @@ def _pinned_body(
 
     def step(tt, carry):
         t = k * TB + tt
+        # Next-event times are CACHED in SMEM registers (refreshed with a
+        # dynamic-index read only when an event fires); was_abs BEFORE the
+        # counter moves — top events are exactly the non-absorb steps up
+        # to the last top time.
+        was_abs = t == sc[6]
 
         # -- absorb: the current top word's value joins the boundary sum
         # (state after its last column = after step t-1), only for pairs
         # still alive at that column (t - w <= n_p - 1).  Masked whole-
         # array ops: dynamic sublane indexing is off the table on Mosaic.
-        @pl.when(bit(absorb_ref, t))
+        @pl.when(was_abs)
         def _absorb():
             s = sc[0] - base_k
             alive = ((t - sc[0]) <= n - 1)[None, :]
             sel = (iota == s) & alive
             acc[:] = acc[:] + jnp.where(sel, pc(vp[:]) - pc(vm[:]), 0)
             sc[0] = sc[0] + 1
+            sc[6] = abs_ref[sc[0]]
 
         # -- enter: the band bottom reaches a new word -> fresh v.
-        @pl.when(bit(enter_ref, t))
+        @pl.when(t == sc[7])
         def _enter():
             sel = iota == (sc[1] - base_k)
             vp[:] = jnp.where(sel, U32(_ONES), vp[:])
             vm[:] = jnp.where(sel, U32(0), vm[:])
             sc[1] = sc[1] + 1
+            sc[7] = ent_ref[sc[1]]
 
         # -- one staggered step.  The char codes and h carries live packed
         # in one `aux` array (bits 0-1 code, 2-3 carry) that shifts down a
@@ -326,7 +348,7 @@ def _pinned_body(
         # group (descending, so each group reads its upper neighbor before
         # it is overwritten) — intermediates stay in registers instead of
         # round-tripping (RW, 128) temporaries through VMEM per op.
-        top_now = bit(top_ref, t)
+        top_now = (t <= lims_ref[0]) & jnp.logical_not(was_abs)
         s_top = sc[0] - base_k
         new0 = axv[tt]
 
@@ -377,7 +399,7 @@ def _pinned_body(
             # (tot + acc; final-column capture contributions only ever
             # pollute lanes whose pair already ended — their later
             # checkpoints are never read by the traceback).
-            @pl.when(bit(r["ckst"], t))
+            @pl.when(t == sc[4])
             def _ck_begin():
                 sc[3] = 0
                 sc[5] = sc[0]
@@ -417,10 +439,12 @@ def _pinned_body(
                     @pl.when(s + 1 == SW)
                     def _ck_done():
                         sc[2] = sc[2] + 1
+                        sc[4] = r["ckst"][sc[2]]
 
-        # -- capture at each pair's final column (rare; when-gated): the
-        # word on the capture diagonal adds its masked value.
-        @pl.when(bit(cap_ref, t))
+        # -- capture at each pair's final column (scalar-window-gated;
+        # the per-pair masks are exact): the word on the capture diagonal
+        # adds its masked value.
+        @pl.when((t >= lims_ref[1]) & (t < lims_ref[2]))
         def _capture():
             w_abs = iota + base_k
             on_diag = w_abs == (t + 1) - n[None, :]
@@ -450,7 +474,7 @@ def _pinned_shared_call(RW, TB, D, SW, ntiles, n_tb, interpret):
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=5,
             grid=(ntiles, n_tb),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # p0 (ntiles, S_pad, 128)
@@ -467,7 +491,7 @@ def _pinned_shared_call(RW, TB, D, SW, ntiles, n_tb, interpret):
                 pltpu.VMEM((RW, 128), jnp.uint32),
                 pltpu.VMEM((RW, 128), jnp.int32),
                 pltpu.VMEM((8, 128), jnp.int32),
-                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SMEM((8,), jnp.int32),
                 pltpu.VMEM((RW, 128), jnp.uint32),
                 pltpu.VMEM((RW, 128), jnp.uint32),
                 pltpu.VMEM((TB, 128), jnp.uint32),
@@ -519,18 +543,15 @@ def pinned_cost_tpu(
             f"pinned residency RW={RW} exceeds VMEM; use the sliding kernel"
         )
 
-    # Per-pair capture window: t in [n_p - 1 + lo(n_p-1), n_p - 1 + lo + SW).
+    # Per-pair capture windows t in [n_p - 1 + lo(n_p-1), +SW): gate on
+    # the scalar union range (the in-kernel per-pair masks are exact).
     n_np = np.asarray(n).astype(np.int64)
     m_np = np.asarray(m).astype(np.int64)
     lo = plan["lo"]
     loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
-    cap_bits = np.zeros(T_pad, np.uint8)
-    for p in range(B):
-        if n_np[p] <= 0:
-            continue
-        t0 = int(n_np[p] - 1 + loend[p])
-        t1 = min(int(n_np[p] - 1 + loend[p] + SW), T_pad)
-        cap_bits[t0:t1] = 1
+    cap0 = int((n_np - 1 + loend)[n_np > 0].min(initial=0))
+    cap1 = int(min((n_np - 1 + loend + SW)[n_np > 0].max(initial=0), T_pad))
+    lims = np.array([plan["last_top"], cap0, cap1, 0], np.int32)
 
     # Whole profile planes padded so every [base_k, base_k + RW) window is
     # in bounds (pad rows replicate the S-1 clamp, matching the sliding
@@ -559,10 +580,9 @@ def pinned_cost_tpu(
         )
 
     out = _pinned_shared_call(RW, TB, D, SW, ntiles, n_tb, interpret)(
-        jnp.asarray(plan["enter_bits"]),
-        jnp.asarray(plan["absorb_bits"]),
-        jnp.asarray(plan["top_bits"]),
-        jnp.asarray(_pack_bits_np(cap_bits)),
+        jnp.asarray(plan["ent_t"]),
+        jnp.asarray(plan["abs_t"]),
+        jnp.asarray(lims),
         jnp.asarray(plan["base"]),
         jnp.asarray(plan["roll"]),
         jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
@@ -991,7 +1011,7 @@ def _pinned_ck_call(RW, TB, D, SW, ntiles, n_tb, n_ck, interpret):
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=6,
             grid=(ntiles, n_tb),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # p0 (ntiles, S_pad, 128)
@@ -1083,20 +1103,17 @@ def pinned_ck_tpu(
     m_np = np.asarray(m).astype(np.int64)
     lo = plan["lo"]
     loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
-    cap_bits = np.zeros(T_pad, np.uint8)
-    for p in range(B):
-        if n_np[p] <= 0:
-            continue
-        t0 = int(n_np[p] - 1 + loend[p])
-        t1 = min(int(n_np[p] - 1 + loend[p] + SW), T_pad)
-        cap_bits[t0:t1] = 1
+    cap0 = int((n_np - 1 + loend)[n_np > 0].min(initial=0))
+    cap1 = int(min((n_np - 1 + loend + SW)[n_np > 0].max(initial=0), T_pad))
+    lims = np.array([plan["last_top"], cap0, cap1, 0], np.int32)
 
-    # Checkpoint-capture start bits: window k (k >= 1) begins at
-    # t = k*CB - 1 + lo[k*CB - 1].
-    ckst = np.zeros(T_pad, np.uint8)
+    # Checkpoint-capture start TIMES, indexed by the checkpoint counter:
+    # window k (k >= 1) begins at t = k*CB - 1 + lo[k*CB - 1].
+    NEVER = np.int32(2 ** 30)
+    ckst = np.full(n_ck + 8, NEVER, np.int32)
     for ck in range(1, n_ck):
         ckcol = ck * CB
-        ckst[ckcol - 1 + int(lo[ckcol - 1])] = 1
+        ckst[ck] = ckcol - 1 + int(lo[ckcol - 1])
 
     S_pad = int(base.max(initial=0)) + RW
     pb0j = jnp.asarray(pb0)
@@ -1119,13 +1136,12 @@ def pinned_ck_tpu(
     out, ckvp, ckvm, cktv = _pinned_ck_call(
         RW, TB, D, SW, ntiles, n_tb, n_ck, interpret
     )(
-        jnp.asarray(plan["enter_bits"]),
-        jnp.asarray(plan["absorb_bits"]),
-        jnp.asarray(plan["top_bits"]),
-        jnp.asarray(_pack_bits_np(cap_bits)),
+        jnp.asarray(plan["ent_t"]),
+        jnp.asarray(plan["abs_t"]),
+        jnp.asarray(lims),
         jnp.asarray(plan["base"]),
         jnp.asarray(plan["roll"]),
-        jnp.asarray(_pack_bits_np(ckst)),
+        jnp.asarray(ckst),
         jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
         jnp.moveaxis(pb1j.reshape(S_pad, ntiles, 128), 1, 0),
         jnp.moveaxis(code.reshape(T_pad, ntiles, 128), 1, 0),

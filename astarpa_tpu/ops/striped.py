@@ -150,6 +150,8 @@ def _striped_kernel(
         tot[:] = jnp.zeros((8, lanes), jnp.int32)
         sc[0] = base  # next word of THIS stripe to absorb
         sc[1] = base  # next word of THIS stripe to enter
+        sc[2] = abs_ref[base]  # cached next absorb time
+        sc[3] = ent_ref[base]  # cached next enter time
 
     @pl.when(act_ref[s, k] > 0)
     def _active_block():
@@ -184,7 +186,7 @@ def _striped_kernel(
                 # Event times read at the word counters (dynamic SMEM
                 # indices): was_abs BEFORE the counter moves — top events
                 # are exactly the non-absorb steps of the ownership window.
-                was_abs = t == abs_ref[sc[0]]
+                was_abs = t == sc[2]
 
                 @pl.when(was_abs)
                 def _absorb():
@@ -193,13 +195,15 @@ def _striped_kernel(
                     sel = (iota == srel) & alive
                     acc[:] = acc[:] + jnp.where(sel, pc(vp[:]) - pc(vm[:]), 0)
                     sc[0] = sc[0] + 1
+                    sc[2] = abs_ref[sc[0]]
 
-                @pl.when(t == ent_ref[sc[1]])
+                @pl.when(t == sc[3])
                 def _enter():
                     sel = iota == (sc[1] - base)
                     vp[:] = jnp.where(sel, U32(_ONES), vp[:])
                     vm[:] = jnp.where(sel, U32(0), vm[:])
                     sc[1] = sc[1] + 1
+                    sc[3] = ent_ref[sc[1]]
 
                 top_now = (
                     (t >= own0_ref[s]) & (t < own1_ref[s])
