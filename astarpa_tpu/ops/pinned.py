@@ -634,6 +634,45 @@ def _pinned_pp_kernel(
     vp, vm, aux, acc, tot, cnt, p0v, p1v, axv, evv, dma,
     *, RW: int, TB: int, D: int, SW: int,
 ):
+    _pinned_pp_body(
+        anye_ref, anya_ref, cap_ref, base_ref, roll_ref,
+        p0_ref, p1_ref, code_ref, ev_ref, n_ref, m_ref, loend_ref,
+        out_ref, vp, vm, aux, acc, tot, cnt, p0v, p1v, axv, evv, dma,
+        ck=None, RW=RW, TB=TB, D=D, SW=SW, CB=0,
+    )
+
+
+def _pinned_pp_ck_kernel(
+    # scalar prefetch (+ per-checkpoint start times / window spans)
+    anye_ref, anya_ref, cap_ref, base_ref, roll_ref, ckst_ref, cklen_ref,
+    # inputs (+ per-checkpoint per-pair window-top plane)
+    p0_ref, p1_ref, code_ref, ev_ref, lockp_ref, n_ref, m_ref, loend_ref,
+    # outputs (+ checkpoint planes)
+    out_ref, ckvp_ref, ckvm_ref, cktv_ref,
+    # scratch (+ full staging planes: capture target rows differ per lane)
+    vp, vm, aux, acc, tot, cnt, p0v, p1v, axv, evv,
+    vpst, vmst, tvst, sck, dma, dma2,
+    *, RW: int, TB: int, D: int, SW: int, CB: int,
+):
+    ck = dict(
+        st=ckst_ref, clen=cklen_ref, lop=lockp_ref,
+        vp=ckvp_ref, vm=ckvm_ref, tv=cktv_ref,
+        vpst=vpst, vmst=vmst, tvst=tvst, sck=sck, dma2=dma2,
+    )
+    _pinned_pp_body(
+        anye_ref, anya_ref, cap_ref, base_ref, roll_ref,
+        p0_ref, p1_ref, code_ref, ev_ref, n_ref, m_ref, loend_ref,
+        out_ref, vp, vm, aux, acc, tot, cnt, p0v, p1v, axv, evv, dma,
+        ck=ck, RW=RW, TB=TB, D=D, SW=SW, CB=CB,
+    )
+
+
+def _pinned_pp_body(
+    anye_ref, anya_ref, cap_ref, base_ref, roll_ref,
+    p0_ref, p1_ref, code_ref, ev_ref, n_ref, m_ref, loend_ref,
+    out_ref, vp, vm, aux, acc, tot, cnt, p0v, p1v, axv, evv, dma,
+    *, ck, RW: int, TB: int, D: int, SW: int, CB: int,
+):
     k = pl.program_id(1)
     p = pl.program_id(0)
     lanes = 128
@@ -662,6 +701,12 @@ def _pinned_pp_kernel(
         acc[:] = jnp.zeros((RW, lanes), jnp.int32)
         tot[:] = jnp.zeros((8, lanes), jnp.int32)
         cnt[:] = jnp.zeros((8, lanes), jnp.int32)  # row 0 nextw, row 1 nextent
+        if ck is not None:
+            sck = ck["sck"]
+            sck[0] = 1  # next checkpoint index (row 0 = host-filled init)
+            sck[1] = 0  # steps into the active capture window
+            sck[3] = 0  # window length; 0 = inactive
+            sck[2] = ck["st"][1]  # cached next window start time
 
     @pl.when((k > 0) & (roll_ref[k] > 0))
     def _compact():
@@ -767,6 +812,67 @@ def _pinned_pp_kernel(
 
         jax.lax.fori_loop(0, ngrp - 1, grp_body, 0)
         group(jnp.concatenate([new0[None], aux[pl.ds(0, 7)]], 0), 0)
+
+        if ck is not None:
+            # -- per-pair checkpoint capture: the state after shared column
+            # ckcol = ckidx*CB lands on the anti-diagonal (absolute word
+            # w = t - ckcol + 1 for ALL lanes — only the staging TARGET row
+            # s_p = w - lo_p(ckcol) differs per lane), so the source is one
+            # dynamic row read and the write one masked whole-(SW,128) op.
+            # The window [lo_min, lo_max + SW) is the cross-pair union;
+            # lanes outside their own [0, SW) range simply match no row.
+            sck = ck["sck"]
+            iota_sw = jax.lax.broadcasted_iota(jnp.int32, (SW, lanes), 0)
+
+            @pl.when(t == sck[2])
+            def _ckpp_begin():
+                sck[1] = 0
+                sck[3] = ck["clen"][sck[0]]
+
+            @pl.when(sck[1] < sck[3])
+            def _ckpp_capture():
+                j = sck[1]
+                ckidx = sck[0]
+                lop = ck["lop"][ckidx, 0]  # (128,) per-pair window top
+                w = t - ckidx * CB + 1
+                src = w - base_k
+                s_p = w - lop
+                sel = iota_sw == s_p[None, :]
+                ck["vpst"][:] = jnp.where(sel, vp[src][None, :], ck["vpst"][:])
+                ck["vmst"][:] = jnp.where(sel, vm[src][None, :], ck["vmst"][:])
+
+                # top_val snapshot per lane at its own window start (gated
+                # to the lo-spread prefix so the acc reduction stays rare).
+                @pl.when(j <= sck[3] - SW)
+                def _tv():
+                    tvsel = s_p == 0
+                    ck["tvst"][0] = jnp.where(
+                        tvsel,
+                        tot[0] + jnp.sum(acc[:], axis=0) + ckidx * CB,
+                        ck["tvst"][0],
+                    )
+
+                sck[1] = j + 1
+
+                @pl.when(j + 1 == sck[3])
+                def _ckpp_flush():
+                    c1 = pltpu.make_async_copy(
+                        ck["vpst"], ck["vp"].at[p, ckidx], ck["dma2"]
+                    )
+                    c1.start()
+                    c1.wait()
+                    c2 = pltpu.make_async_copy(
+                        ck["vmst"], ck["vm"].at[p, ckidx], ck["dma2"]
+                    )
+                    c2.start()
+                    c2.wait()
+                    c3 = pltpu.make_async_copy(
+                        ck["tvst"], ck["tv"].at[p, ckidx], ck["dma2"]
+                    )
+                    c3.start()
+                    c3.wait()
+                    sck[0] = ckidx + 1
+                    sck[2] = ck["st"][ckidx + 1]
 
         # -- capture at each pair's final column (when-gated; cap bits are
         # the union over pairs, per-lane masks pick the right words).
@@ -1160,3 +1266,251 @@ def pinned_ck_tpu(
     ckvm = jnp.moveaxis(ckvm, 0, 2).reshape(n_ck, SW, B)
     cktv = jnp.moveaxis(cktv[:, :, 0, :], 0, 1).reshape(n_ck, B)
     return costs, ckvp, ckvm, cktv
+
+
+@functools.lru_cache(maxsize=None)
+def _pinned_pp_ck_call(RW, TB, D, SW, ntiles, n_tb, n_ck, CB, interpret):
+    kernel = functools.partial(
+        _pinned_pp_ck_kernel, RW=RW, TB=TB, D=D, SW=SW, CB=CB
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(ntiles, n_tb),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p0 (ntiles, S_pad, 128)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p1
+                pl.BlockSpec(memory_space=pltpu.ANY),  # code (ntiles, T_pad, 128)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ev (ntiles, T_pad, 128)
+                pl.BlockSpec(
+                    (n_ck, 1, 128), lambda p, k, *s: (0, p, 0)
+                ),  # per-ck per-pair window tops
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, 128), lambda p, k, *s: (p, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ckvp
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ckvm
+                pl.BlockSpec(memory_space=pltpu.ANY),  # cktv
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((RW, 128), jnp.uint32),   # vp
+                pltpu.VMEM((RW, 128), jnp.uint32),   # vm
+                pltpu.VMEM((RW, 128), jnp.uint32),   # aux
+                pltpu.VMEM((RW, 128), jnp.int32),    # acc
+                pltpu.VMEM((8, 128), jnp.int32),     # tot
+                pltpu.VMEM((8, 128), jnp.int32),     # cnt
+                pltpu.VMEM((RW, 128), jnp.uint32),   # p0v
+                pltpu.VMEM((RW, 128), jnp.uint32),   # p1v
+                pltpu.VMEM((TB, 128), jnp.uint32),   # axv
+                pltpu.VMEM((TB, 128), jnp.uint32),   # evv
+                pltpu.VMEM((SW, 128), jnp.uint32),   # vpst capture staging
+                pltpu.VMEM((SW, 128), jnp.uint32),   # vmst
+                pltpu.VMEM((8, 128), jnp.int32),     # tvst
+                pltpu.SMEM((8,), jnp.int32),         # sck
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, n_ck, SW, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((ntiles, n_ck, SW, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((ntiles, n_ck, 8, 128), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+@functools.lru_cache(maxsize=None)
+def _pp_ck_run(n_max, B, S, SW, TB, RW, D, n_tb, T_pad, S_pad, n_ck, CB,
+               interpret):
+    """jit-wrapped device prep + per-pair checkpointing call (see _pp_run)."""
+    ntiles = B // 128
+
+    def run(a0, a1, pb0, pb1, n, m, ev8, loend, lo_ckp, anye_bits, anya_bits,
+            cap_bits, ckst, cklen, base, roll):
+        nn = jnp.asarray(n).astype(jnp.int32)
+        mm = jnp.asarray(m).astype(jnp.int32)
+        ev = jnp.asarray(ev8).astype(jnp.uint32)
+        pb0j = jnp.asarray(pb0)
+        pb1j = jnp.asarray(pb1)
+        if S_pad > S:
+            pb0j = jnp.concatenate(
+                [pb0j, jnp.broadcast_to(pb0j[-1], (S_pad - S, B))], 0
+            )
+            pb1j = jnp.concatenate(
+                [pb1j, jnp.broadcast_to(pb1j[-1], (S_pad - S, B))], 0
+            )
+        code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
+            jnp.uint32
+        )
+        if T_pad > n_max:
+            code = jnp.concatenate(
+                [code, jnp.zeros((T_pad - n_max, B), jnp.uint32)], 0
+            )
+
+        out, ckvp, ckvm, cktv = _pinned_pp_ck_call(
+            RW, TB, D, SW, ntiles, n_tb, n_ck, CB, interpret
+        )(
+            anye_bits,
+            anya_bits,
+            cap_bits,
+            base,
+            roll,
+            ckst,
+            cklen,
+            jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(pb1j.reshape(S_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(code.reshape(T_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(ev.reshape(T_pad, ntiles, 128), 1, 0),
+            jnp.asarray(lo_ckp).reshape(n_ck, ntiles, 128),
+            nn.reshape(ntiles, 1, 128),
+            mm.reshape(ntiles, 1, 128),
+            jnp.asarray(loend).reshape(ntiles, 1, 128),
+        )
+        res = out.reshape(B) + nn
+        covered = (mm - jnp.asarray(loend) * W) <= SW * W
+        costs = jnp.where(covered, res, INF32)
+        ckvp = ckvp.at[:, 0].set(jnp.uint32(_ONES))
+        ckvm = ckvm.at[:, 0].set(jnp.uint32(0))
+        cktv = cktv.at[:, 0].set(0)
+        ckvp = jnp.moveaxis(ckvp, 0, 2).reshape(n_ck, SW, B)
+        ckvm = jnp.moveaxis(ckvm, 0, 2).reshape(n_ck, SW, B)
+        cktv = jnp.moveaxis(cktv[:, :, 0, :], 0, 1).reshape(n_ck, B)
+        return costs, ckvp, ckvm, cktv
+
+    return jax.jit(run)
+
+
+def pinned_ck_pp_tpu(
+    a0, a1, pb0, pb1, n, m, band_words: int, schedule, col_block: int,
+    time_block: int = 1024, interpret: bool = False,
+):
+    """Per-pair-schedule big-band cost + checkpoints on the pinned layout.
+
+    The per-pair twin of :func:`pinned_ck_tpu`: checkpoint COLUMNS are
+    shared (k * col_block) but each pair's stored window starts at its own
+    ``lo_p(ckcol)``; the capture sweep is still one dynamic source-row
+    read per step (the absolute word is shared), only the staging target
+    row differs per lane (masked whole-array write).  Same contract as
+    :func:`pallas_banded.banded_ck_tpu` with a per-pair ``schedule``.
+
+    Requires ``col_block >= SW + max cross-pair lo-spread at any
+    checkpoint`` (capture windows must not overlap); raises ValueError
+    otherwise — callers fall back to the sliding ck kernel.
+    """
+    n_max, B = a0.shape
+    S = pb0.shape[0]
+    SW = min(band_words, S)
+    assert B % 128 == 0
+    sched_np = np.ascontiguousarray(np.asarray(schedule, dtype=np.uint8))
+    assert sched_np.shape == (n_max, B)
+    CB = col_block
+    if CB < SW or CB > max(n_max, 1):
+        # Silently clamping here would desync the caller's host-side trace
+        # mirror (which must pass the SAME CB to the native traceback).
+        raise ValueError("col_block out of range for the pinned ck kernel")
+    n_ck = n_max // CB + 1
+
+    n_np = np.asarray(n, np.int64)
+    m_np = np.asarray(m, np.int64)
+    last_col = np.clip(n_np - 1, 0, n_max - 1)
+    sched_T = np.ascontiguousarray(sched_np.T)
+    lo_min = None
+    lo_max = None
+    loend = np.zeros(B, np.int32)
+    lo_ckp = np.zeros((n_ck, B), np.int32)
+    ckcols = np.arange(1, n_ck) * CB - 1  # lo AFTER column k*CB
+    chunks = []
+    for s in range(0, B, 128):
+        loT = np.add.accumulate(sched_T[s : s + 128], axis=1, dtype=np.int32)
+        mn = loT.min(axis=0)
+        mx = loT.max(axis=0)
+        lo_min = mn if lo_min is None else np.minimum(lo_min, mn)
+        lo_max = mx if lo_max is None else np.maximum(lo_max, mx)
+        prs = np.arange(s, min(s + 128, B))
+        loend[prs] = loT[prs - s, last_col[prs]]
+        if len(ckcols):
+            lo_ckp[1:, prs] = loT[:, ckcols].T
+        chunks.append((s, loT))
+
+    def _fits(p, tb):
+        return (
+            13 * p["RW"] * 128 * 4 + 4 * tb * 128 * 4 + 2 * SW * 128 * 4
+            <= 29 * 2 ** 19
+        )
+
+    plan = None
+    for TB_try in (time_block, 512, 256):
+        if TB_try > time_block:
+            continue
+        plan = _plan_pp(lo_min.astype(np.int64), lo_max.astype(np.int64), SW,
+                        TB_try)
+        if _fits(plan, TB_try):
+            break
+    RW, TB, D, n_tb, T_pad = (
+        plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
+    )
+    base = plan["base"]
+    if not _fits(plan, TB):
+        raise ValueError(
+            f"pinned residency RW={RW} exceeds VMEM; use the sliding kernel"
+        )
+    S_pad = int(base.max(initial=0)) + RW
+
+    ev = np.zeros((T_pad + 1, B), np.uint8)
+    for s, loT in chunks:
+        prows, ccols = np.nonzero(sched_T[s : s + 128])
+        tt = ccols + loT[prows, ccols]
+        ev[tt + (SW - 1), prows + s] |= 1
+        ev[tt - 1, prows + s] |= 2
+    ev[:SW] |= 1
+    ev = ev[:T_pad]
+    cap = np.zeros(T_pad + 1, np.uint8)
+    tcap = (np.maximum(n_np, 1) - 1 + loend)[None, :] + np.arange(SW)[:, None]
+    cap[np.minimum(tcap.reshape(-1), T_pad)] = 1
+    cap_bits = _pack_bits_np(cap[:T_pad])
+    anye_bits = _pack_bits_np(np.bitwise_or.reduce(ev, axis=1) & 1)
+    anya_bits = _pack_bits_np((np.bitwise_or.reduce(ev, axis=1) >> 1) & 1)
+
+    # Per-checkpoint capture windows (must not overlap).
+    NEVER = np.int32(2 ** 30)
+    ckst = np.full(n_ck + 8, NEVER, np.int32)
+    cklen = np.zeros(n_ck + 8, np.int32)
+    for ckk in range(1, n_ck):
+        lom = int(lo_ckp[ckk].min())
+        span = int(lo_ckp[ckk].max()) - lom
+        ckst[ckk] = ckk * CB - 1 + lom
+        cklen[ckk] = span + SW
+    for ckk in range(1, n_ck - 1):
+        if ckst[ckk] + cklen[ckk] > ckst[ckk + 1]:
+            raise ValueError(
+                "checkpoint capture windows overlap (CB too small for the "
+                "cross-pair lo spread); use the sliding ck kernel"
+            )
+
+    run = _pp_ck_run(n_max, B, max(S, 1), SW, TB, RW, D, n_tb, T_pad,
+                     max(S_pad, S, 1), n_ck, CB, interpret)
+    return run(
+        a0, a1, pb0, pb1,
+        np.asarray(n, np.int32),
+        np.asarray(m, np.int32),
+        ev,
+        loend,
+        lo_ckp,
+        anye_bits,
+        anya_bits,
+        cap_bits,
+        ckst,
+        cklen,
+        base,
+        plan["roll"],
+    )

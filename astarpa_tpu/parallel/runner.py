@@ -406,7 +406,31 @@ class BatchAligner:
             return _sharded_domain(
                 self.mesh, sw, quantum, self.pallas_interpret, want_ck, CB, pp
             )(a0, a1, pb0, pb1, n, m, sched_dev)
+        global LAST_KERNEL
         if want_ck:
+            if (
+                PINNED_ENABLED
+                and jax.default_backend() == "tpu"
+                and not self.pallas_interpret
+                and self.mesh is None
+                and sw >= PINNED_PP_MIN_SW
+                and B % 128 == 0
+            ):
+                # Big domain bands: per-pair pinned checkpoint kernel.  CB
+                # must mirror the sliding kernel's Q-rounding so the host
+                # trace mirror in _domain_ladder stays consistent.
+                from ..ops.pinned import pinned_ck_pp_tpu
+
+                CBq = max(quantum, CB // quantum * quantum)
+                try:
+                    out = pinned_ck_pp_tpu(
+                        a0, a1, pb0, pb1, n, m, band_words=sw,
+                        schedule=sched_arr, col_block=CBq,
+                    )
+                    LAST_KERNEL = "pinned-pp-ck"
+                    return out
+                except (ValueError, jax.errors.JaxRuntimeError):
+                    pass  # residency/window constraints; sliding below
             from ..ops.pallas_banded import banded_ck_tpu
 
             assert on_tpu and pp >= 128
@@ -415,7 +439,6 @@ class BatchAligner:
                 pairs_per_program=pp, interpret=self.pallas_interpret,
                 schedule=sched_arr, schedule_quantum=quantum,
             )
-        global LAST_KERNEL
         if (
             PINNED_ENABLED
             and jax.default_backend() == "tpu"

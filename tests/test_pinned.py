@@ -197,3 +197,72 @@ def test_pinned_ck_native_trace():
         assert cig.verify(a, b) == cost
         checked += 1
     assert checked >= 4
+
+
+def test_pinned_pp_ck_matches_sliding_ck():
+    """Per-pair pinned checkpoint emission is bit-identical to the sliding
+    per-pair ck kernel on every readable checkpoint."""
+    from astarpa_tpu.ops.pallas_banded import banded_ck_tpu
+    from astarpa_tpu.ops.pinned import pinned_ck_pp_tpu
+
+    pairs = [
+        generate.uniform_seeded(2500 + (s * 137) % 600, [0.03, 0.1][s % 2], s)
+        for s in range(128)
+    ]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=128)
+    a0, a1, pb0, pb1, n, m = args
+    n_max, S = a0.shape[0], pb0.shape[0]
+    sw, CB = 16, 1024
+    sched, thr = banded.pair_gap_schedule(
+        np.asarray(n), np.asarray(m), sw, n_max, S
+    )
+    gots, svp, svm, stv = map(np.asarray, banded_ck_tpu(
+        a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
+        pairs_per_program=128, interpret=True, schedule=sched))
+    gotp, pvp, pvm, ptv = map(np.asarray, pinned_ck_pp_tpu(
+        a0, a1, pb0, pb1, n, m, band_words=sw, schedule=sched, col_block=CB,
+        time_block=256, interpret=True))
+    assert (gots == gotp).all()
+    n_np = np.asarray(n)
+    for k in range(min(svp.shape[0], pvp.shape[0])):
+        live = n_np >= k * CB
+        assert (svp[k][:, live] == pvp[k][:, live]).all(), k
+        assert (svm[k][:, live] == pvm[k][:, live]).all(), k
+        assert (stv[k][live] == ptv[k][live]).all(), k
+
+
+def test_pinned_pp_ck_native_trace():
+    """CIGARs from per-pair pinned checkpoints via the native traceback
+    with per-pair schedules verify against the oracle."""
+    from astarpa_tpu import native
+    from astarpa_tpu.ops.pinned import pinned_ck_pp_tpu
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    pairs = [
+        generate.uniform_seeded(2200 + 61 * s, [0.04, 0.1][s % 2], 30 + s)
+        for s in range(128)
+    ]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=128)
+    a0, a1, pb0, pb1, n, m = args
+    n_max, S = a0.shape[0], pb0.shape[0]
+    sw, CB = 24, 1024
+    sched, thr = banded.pair_gap_schedule(
+        np.asarray(n), np.asarray(m), sw, n_max, S
+    )
+    costs, ckvp, ckvm, cktv = map(np.asarray, pinned_ck_pp_tpu(
+        a0, a1, pb0, pb1, n, m, band_words=sw, schedule=sched, col_block=CB,
+        time_block=256, interpret=True))
+    checked = 0
+    for p in range(0, B0, 17):
+        if costs[p] > thr[p]:
+            continue
+        a, b = pairs[p]
+        sc = np.ascontiguousarray(sched[:, p], np.int32)
+        cost, cig = native.trace_banded_ck(
+            a, b, S, ckvp[:, :, p], ckvm[:, :, p], cktv[:, p], sc, sw, CB,
+        )
+        assert cost == costs[p] == oracle.levenshtein(a, b)
+        assert cig.verify(a, b) == cost
+        checked += 1
+    assert checked >= 4
