@@ -24,6 +24,10 @@ prevent hoisting) and force a host readback of the reduced result.
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -34,8 +38,61 @@ BATCH = 4096
 BAND_WORDS = 32
 K = 8
 
+# Hard wall-clock cap: the TPU rides a tunnel that can wedge mid-run, and a
+# hung readback would otherwise block the driver forever.
+DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", "2700"))
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "420"))
+
+
+def _fail_json(reason: str) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": f"aligned Gbp/s/chip (config#2: {N}bp e={E} banded cost, batch={BATCH})",
+                "value": 0.0,
+                "unit": "Gbp/s",
+                "vs_baseline": 0.0,
+                "error": reason,
+            }
+        )
+    )
+
+
+def _probe_device() -> bool:
+    """Check the TPU is reachable without risking an indefinite hang: device
+    init + one tiny computation + host readback in a subprocess under a
+    timeout."""
+    code = (
+        "import jax, jax.numpy as jnp; import numpy as np; "
+        "d = jax.devices()[0]; "
+        "print(float(np.asarray(jnp.ones((8, 128)).sum())), d.platform)"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=PROBE_TIMEOUT_S,
+            capture_output=True,
+        )
+        return r.returncode == 0 and b"1024.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
 
 def main() -> None:
+    if not _probe_device():
+        _fail_json(
+            f"TPU device unreachable (init+readback probe timed out after "
+            f"{PROBE_TIMEOUT_S}s — axon tunnel down?)"
+        )
+        return
+
+    def _deadline(signum, frame):
+        _fail_json(f"bench exceeded {DEADLINE_S}s deadline (tunnel wedged mid-run?)")
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _deadline)
+    signal.alarm(DEADLINE_S)
+
     import jax
     import jax.numpy as jnp
 
