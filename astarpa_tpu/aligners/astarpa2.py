@@ -328,6 +328,179 @@ class AstarPa2Instance:
             return dist, cigar
         return dist, None
 
+    # --- local doubling (working variant of `local_doubling.rs:4-243`) ------
+
+    def local_doubling(self, trace: bool = True):
+        """Per-block band growth: each block carries its own ``f_max``, grown
+        locally whenever that block's ``fixed_j_range`` proves empty, with
+        growth back-propagated so ``f_max`` stays non-increasing over blocks.
+
+        Mirror of `astarpa2/src/domain/local_doubling.rs:4-243` — which the
+        reference itself marks broken and ``#[ignore]``s
+        (`astarpa2/src/tests.rs:122`).  This variant deviates to be *sound*:
+
+        - termination requires the final distance to satisfy
+          ``dist <= f_max[last]``; with the back-propagated monotonicity this
+          gives ``f_max[idx] >= dist`` for every block, so every state on an
+          optimal path (``f(u) <= dist`` under a consistent, prune-monotone
+          heuristic) lies inside some computed block — the same certificate
+          global band doubling relies on (`domain.rs:356-541`).
+        - a block whose ``fixed_j_range`` comes back empty *mid-recompute*
+          grows its own ``f_max`` (the reference only ever grows the global
+          last block, and trips its own non-empty asserts otherwise).
+        - empty fixed ranges are stored as ``None`` so they can never poison
+          the union bookkeeping in :meth:`Blocks.set_last_block_fixed_j_range`.
+        """
+        assert self.params.domain == Domain.ASTAR and self.h is not None, (
+            "local doubling requires the A* domain"
+        )
+        assert self.params.prune, "local doubling requires pruning"
+        n, m = len(self.a), len(self.b)
+        h0 = self.h0()
+        bw = self.params.block_width
+        blocks = make_blocks(self.params, self.a, self.b, trace)
+
+        dummy_prev = replace(Block.default(), fixed_j_range=(-1, -1))
+
+        def init_first_block():
+            rng = self.j_range((-1, 0), h0, dummy_prev, blocks.next_block_j_range())
+            assert not is_empty(rng) and rng[0] == 0
+            blocks.init(rng)
+            blocks.blocks[0].fixed_j_range = rng
+
+        init_first_block()
+
+        # Per-block thresholds and growth deltas (delta doubles every second
+        # grow, capped — `local_doubling.rs:33-59`).
+        f_max = [h0]
+        delta0 = (2 * bw, 0)
+        f_delta = [delta0]
+
+        def update_delta(idx):
+            d, phase = f_delta[idx]
+            f_delta[idx] = (d, 1) if phase == 0 else (min(2 * d, 4096), 0)
+
+        def grow_to(idx, f_target):
+            d, _ = f_delta[idx]
+            f_max[idx] = _div_ceil(f_target, d) * d
+            update_delta(idx)
+
+        i = 0
+        last_idx = 0
+        # Index of a block whose band just proved insufficient (its
+        # fixed_j_range came back empty) and must grow before anything else.
+        grow_idx = None
+
+        while True:
+            if grow_idx is not None:
+                origin = grow_idx
+                grow_idx = None
+                grow_to(origin, f_max[origin] + 1)
+            elif i < n:
+                # Push a new block; grow the tip f until its j_range opens up
+                # (`local_doubling.rs:71-100`).
+                i_range = (i, min(i + bw, n))
+                next_f = f_max[last_idx]
+                while True:
+                    rng = self.j_range(
+                        i_range, next_f, blocks.last_block(),
+                        blocks.next_block_j_range(),
+                    )
+                    if not is_empty(rng):
+                        break
+                    next_f += bw
+                i = i_range[1]
+                last_idx += 1
+                f_max.append(next_f)
+                f_delta.append(delta0)
+                origin = last_idx
+            else:
+                grow_to(last_idx, f_max[last_idx] + 1)
+                origin = last_idx
+            assert f_max[origin] <= 4 * (n + m + bw), "local doubling diverged"
+
+            # Back-propagate growth so f_max is non-increasing over blocks
+            # (`local_doubling.rs:110-134`): every block left of a grown one
+            # must bound f at least as high, else the soundness certificate
+            # (and the reference's own reuse logic) breaks.
+            start_idx = origin
+            while start_idx > 0 and f_max[start_idx - 1] < f_max[start_idx]:
+                start_idx -= 1
+                grow_to(start_idx, f_max[start_idx + 1])
+            # Drop every computed block from start_idx up; they recompute
+            # below (with reuse when their j_range did not grow).
+            while blocks.last_block_idx >= start_idx:
+                blocks.pop_last_block()
+
+            if start_idx < last_idx:
+                self.h.update_contours(Pos(max(0, (start_idx - 1) * bw), 0))
+            if start_idx == 0:
+                init_first_block()
+                start_idx = 1
+
+            # Recompute blocks start_idx..=last_idx at their new thresholds,
+            # reusing any whose j_range is unchanged (`local_doubling.rs:159-216`).
+            all_blocks_reused = True
+            for idx in range(start_idx, last_idx + 1):
+                fm = f_max[idx]
+                i_range = ((idx - 1) * bw, min(idx * bw, n))
+                rng = self.j_range(
+                    i_range, fm, blocks.last_block(), blocks.next_block_j_range()
+                )
+                assert not is_empty(rng)
+
+                reuse = False
+                old = blocks.next_block_j_range()
+                if old is not None:
+                    rng = union(rng, old)
+                    if all_blocks_reused and round_out(rng) == old:
+                        reuse = True
+                all_blocks_reused &= reuse
+
+                prev_fixed = blocks.last_block().fixed_j_range
+                if reuse:
+                    blocks.reuse_next_block(i_range, rng)
+                else:
+                    blocks.compute_next_block(i_range, rng)
+                    if self.v is not None:
+                        self.v.expand_block(
+                            Pos(i_range[0], rng[0]),
+                            Pos(i_range[1] - i_range[0], rng[1] - rng[0] + 1),
+                        )
+
+                next_fixed = self.fixed_j_range(
+                    i_range[1], fm, prev_fixed, blocks.last_block()
+                )
+                if next_fixed is None or is_empty(next_fixed):
+                    # Band insufficient at THIS block: clear the stale marker
+                    # and grow this block next round.
+                    blocks.blocks[blocks.last_block_idx].fixed_j_range = None
+                    grow_idx = idx
+                    break
+                blocks.set_last_block_fixed_j_range(next_fixed)
+                next_fixed = blocks.last_block().fixed_j_range
+
+                pruned = intersection(prev_fixed, next_fixed)
+                if not is_empty(pruned):
+                    self.h.prune_block((i_range[0], i_range[1]), pruned)
+
+            if self.v is not None:
+                self.v.new_layer()
+            if grow_idx is not None:
+                continue
+            if i == n:
+                dist = blocks.last_block().get(m)
+                if dist is not None and dist <= f_max[last_idx]:
+                    break
+                grow_idx = last_idx
+
+        if trace:
+            cigar = trace_path(
+                blocks, self.a, self.b, Pos(0, 0), Pos(n, m), self.params
+            )
+            return dist, cigar
+        return dist, None
+
 
 def make_blocks(params: AstarPa2Params, a: bytes, b: bytes, trace: bool) -> Blocks:
     ca0, ca1 = bitpack.pack_a(seq_to_codes(a))
@@ -375,6 +548,11 @@ class AstarPa2:
                 dt.factor,
                 lambda s: _wrap(inst.align_for_bounded_dist(s, trace, blocks)),
             )
+        elif dt.kind == "local-doubling":
+            # NOTE kept out of the reference's paper as "does not yet work
+            # much better than (global) band doubling" (`lib.rs:160-166`);
+            # here it is implemented to actually work (see local_doubling).
+            cost, cigar = inst.local_doubling(trace)
         else:
             raise NotImplementedError(dt.kind)
         assert h0 <= cost, f"Heuristic at start {h0} > final cost {cost}."

@@ -47,6 +47,10 @@ class DoublingType:
     def linear_search(start=DoublingStart.GAP, delta=1.0) -> "DoublingType":
         return DoublingType("linear-search", start=start, delta=delta)
 
+    @staticmethod
+    def local_doubling() -> "DoublingType":
+        return DoublingType("local-doubling")
+
 
 def exponential_search(
     offset: int, s0: int, factor: float, f: Callable[[int], Optional[tuple[int, T]]]

@@ -121,3 +121,45 @@ def test_cost_only():
     aligner = AstarPa2Params.simple().make_aligner(False)
     a, b = generate.generate_model(500, 0.1, generate.ErrorModel.UNIFORM, 17)
     assert aligner.cost(a, b) == oracle.levenshtein(a, b)
+
+
+def _local_doubling_params(**over):
+    return replace(
+        AstarPa2Params.full(), doubling=DoublingType.local_doubling(), **over
+    )
+
+
+def test_local_doubling_grid():
+    """Local doubling (working variant of `local_doubling.rs:4-243`, which
+    the reference marks broken): oracle cost + verified CIGAR across the
+    size/error grid."""
+    aligner = _local_doubling_params().make_aligner(True)
+    for (a, b), ctx in gen_grid(seed=8, sizes=(10, 100, 300, 700), errors=(0.05, 0.2)):
+        check_aligner(aligner, a, b, str(ctx))
+
+
+def test_local_doubling_tricky_and_adversarial():
+    aligner = _local_doubling_params().make_aligner(True)
+    for a, b in TRICKY:
+        check_aligner(aligner, a, b, "tricky")
+    # unrelated + reversed + high-error pairs exercise the grow/back-propagate
+    # machinery (every block ends up at a large f).
+    a1, _ = generate.generate_model(300, 0.0, generate.ErrorModel.UNIFORM, 11)
+    a2, _ = generate.generate_model(300, 0.0, generate.ErrorModel.UNIFORM, 12)
+    check_aligner(aligner, a1, a2, "unrelated")
+    check_aligner(aligner, a1, bytes(a1[::-1]), "reversed")
+    check_aligner(
+        aligner, *generate.generate_model(500, 0.3, generate.ErrorModel.UNIFORM, 21),
+        "high-error",
+    )
+
+
+def test_local_doubling_variants():
+    """Both incremental-doubling modes and both h walks stay exact."""
+    a, b = generate.generate_model(800, 0.12, generate.ErrorModel.UNIFORM, 31)
+    for inc in (True, False):
+        for sph in (True, False):
+            aligner = _local_doubling_params(
+                incremental_doubling=inc, sparse_h=sph
+            ).make_aligner(True)
+            check_aligner(aligner, a, b, f"inc={inc} sparse_h={sph}")
