@@ -120,3 +120,26 @@ def test_fuzzer_smoke():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "no failures" in r.stdout
+
+
+def test_scalar_layouts_bit_identical():
+    """All five scalar traversal orders (`pa-bitpacking/src/scalar.rs:9-99`
+    mirrors) produce bit-identical (vp, vm, hp, hm) and the oracle distance."""
+    from astarpa_tpu.ops import bitpack, layouts
+    from astarpa_tpu.types import seq_to_codes
+
+    for seed, n, e in [(1, 96, 0.1), (2, 200, 0.3), (3, 64, 0.0)]:
+        a, b = generate.generate_model(n, e, generate.ErrorModel.UNIFORM, seed)
+        b = b[: (len(b) // 32) * 32]  # word-aligned rows: no padding terms
+        a0, a1 = bitpack.pack_a(seq_to_codes(a))
+        pb0, pb1 = bitpack.pack_b(seq_to_codes(b))
+        ref = None
+        for name, fn in layouts.LAYOUTS.items():
+            got = fn(a0, a1, pb0, pb1)
+            if ref is None:
+                ref = got
+                d = layouts.distance(got[2], got[3], len(b))
+                assert d == oracle.levenshtein(a, b), (seed, name, d)
+            else:
+                for x, y in zip(ref, got):
+                    assert (x == y).all(), (seed, name)
