@@ -430,3 +430,24 @@ def band_threshold(band_words: int, n, m, n_max: int, m_max: int):
     g = np.abs(m - n)
     dev = np.abs(m_max * n // max(n_max, 1) - m)
     return band_words * W - 4 * W - g - 2 * dev
+
+
+def band_for_cost(cost, n, m, n_max: int, m_max: int):
+    """Smallest band (words, per pair) whose :func:`band_threshold` admits
+    ``cost`` — the threshold inverse.
+
+    A failed rung's banded result is an *upper bound* on the true distance
+    (the clamped-boundary band DP solves a restriction of the problem:
+    every in-band path keeps its true cost, so the minimum can only rise —
+    the standard Ukkonen band argument).  Feeding that bound through this
+    inverse lets the ladder jump straight to a band guaranteed to certify:
+    one retry instead of log2(final/initial) blind doublings
+    (`astarpa2/src/domain.rs:452-455` reuse, re-expressed as rung
+    prediction; the f-ladder in `parallel/runner.py::_domain_ladder` does
+    the same with f).
+    """
+    n = np.maximum(np.asarray(n, np.int64), 1)
+    m = np.asarray(m, np.int64)
+    g = np.abs(m - n)
+    dev = np.abs(m_max * n // max(n_max, 1) - m)
+    return -(-(np.asarray(cost, np.int64) + 4 * W + g + 2 * dev) // W)

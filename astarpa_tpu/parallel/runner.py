@@ -153,6 +153,7 @@ class BatchAligner:
                 ok = costs <= thr
             pending_set = set(pending)
             nxt = []
+            fail_slots = []
             for slot, i in enumerate(members):
                 if i not in pending_set:
                     continue
@@ -160,13 +161,37 @@ class BatchAligner:
                     out[i] = int(costs[slot])
                 else:
                     nxt.append(i)
+                    fail_slots.append(slot)
             pending = nxt
             if not pending:
                 return
             assert sw < S, "full-height window must certify every pair"
             stats.band_retries += 1
-            band *= 2
+            band = self._next_band(band, costs, fail_slots, n, m, B0, n_max, S)
             attempt += 1
+
+    def _next_band(self, band, costs, fail_slots, n, m, B0, n_max, S) -> int:
+        """Jump the ladder to the band the failed pairs' banded upper bounds
+        certify at (see :func:`ops.banded.band_for_cost`), falling back to
+        doubling when a result is the INF sentinel.  A +1 word pad absorbs
+        the skew-term drift a repack of the surviving pairs can introduce;
+        the certificate re-check keeps correctness either way."""
+        from ..ops import banded
+
+        sel = np.asarray(fail_slots)
+        c = np.asarray(costs)[sel]
+        finite = c < INF // 2
+        # Lanes whose band never reached their target row return the INF
+        # sentinel — no bound for them, so keep at least the doubling floor.
+        floor = band * 2 if not finite.all() else band + 1
+        if not finite.any():
+            return floor
+        sel = sel[finite]
+        need = banded.band_for_cost(
+            c[finite], np.asarray(n)[:B0][sel], np.asarray(m)[:B0][sel],
+            n_max, S * W,
+        )
+        return max(floor, int(need.max()) + 1)
 
     def _pack_multiple(self, for_ck: bool = False) -> int:
         """Batch padding granularity: the configured lane multiple, raised
@@ -646,8 +671,9 @@ class BatchAligner:
                 pending_set = set(pending)
                 sel = [slot for slot, i in enumerate(members)
                        if i in pending_set and ok[slot]]
-                next_pending = [i for slot, i in enumerate(members)
-                                if i in pending_set and not ok[slot]]
+                fail_slots = [slot for slot, i in enumerate(members)
+                              if i in pending_set and not ok[slot]]
+                next_pending = [members[slot] for slot in fail_slots]
                 if sel:
                     # Gather only certified pairs' checkpoints on device (the
                     # host link is the scarce resource) and defer the traces
@@ -667,7 +693,7 @@ class BatchAligner:
                     return
                 assert sw < S, "full-height window must certify every pair"
                 stats.band_retries += 1
-                band *= 2
+                band = self._next_band(band, costs, fail_slots, n, m, B0, n_max, S)
                 attempt += 1
         finally:
             self._flush_traces(trace_jobs, pairs, results)

@@ -503,3 +503,34 @@ def test_ck_kernel_interpret_top_val():
     assert (np.asarray(kvp) == ckvp).all()
     assert (np.asarray(kvm) == ckvm).all()
     assert (np.asarray(ktv) == cktv).all()
+
+
+def test_ladder_band_jump():
+    """A failed rung's banded cost is an upper bound on the true distance,
+    so the ladder jumps straight to the certifying band (one retry per
+    bucket instead of log2 doublings) — `ops/banded.py::band_for_cost`."""
+    from astarpa_tpu.parallel.runner import BatchAligner
+
+    pairs = [generate.uniform_seeded(900, 0.2, 100 + s) for s in range(16)]
+    ba = BatchAligner(band_words=2, lane_multiple=16, domain_mode="off")
+    costs, stats = ba.cost_with_stats(pairs)
+    assert list(costs) == [oracle.levenshtein(a, b) for a, b in pairs]
+    # Same sizes -> one bucket; band 2 fails once, the jump certifies.
+    assert stats.band_retries == 1, stats.band_retries
+
+
+def test_banded_cost_upper_bound():
+    """Too-narrow banded costs never under-report the true distance (the
+    property the ladder jump relies on)."""
+    pairs = [
+        generate.uniform_seeded(300 + 41 * s, [0.05, 0.2, 0.4][s % 3], s)
+        for s in range(24)
+    ]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=24)
+    a0, a1, pb0, pb1, n, m = args
+    exact = np.array([oracle.levenshtein(a, b) for a, b in pairs])
+    for sw in (2, 4, 8):
+        costs = np.asarray(
+            banded.banded_cost_block(a0, a1, pb0, pb1, n, m, band_words=sw)
+        )[:B0]
+        assert (costs >= exact).all(), sw
