@@ -29,6 +29,10 @@
 #include <algorithm>
 #include <cassert>
 
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 using i32 = int32_t;
@@ -1584,6 +1588,12 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
   i32 g = dval(n, m);
   i32 total = g;
   std::string rev;
+  // DT layer arena shared across bursts: layer gl occupies entries
+  // [gl*gl, gl*gl + 2*gl] (sum of (2l+1) for l < gl is gl*gl), grown on
+  // demand — per-layer vector allocations were a measurable slice of the
+  // trace at 10kbp.  Stale entries are never read: every prev-layer probe
+  // is bounds-checked against a layer the current burst wrote completely.
+  std::vector<i32> raw_fl, ext_fl;
 
   // Backward DT burst from (iu, ju) (banded value Du) to checkpoint column
   // c0: grow farthest-back-reaching layers X[g][D] (D = j - i diagonal,
@@ -1598,31 +1608,41 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
     // Budget: local edits within this stripe, capped so layer memory stays
     // bounded; escalation is geometric from a cheap start.
     i32 hard_cap = std::min({Du, 2 * (iu - c0) + 256, 1 << 11});
-    // Prefix values along the landing column, so each candidate check is
-    // O(1) instead of an O(SW) popcount scan.
+    // Word-level prefix values along the landing column: O(SW) to build,
+    // one masked popcount per candidate check (candidate landings are
+    // rare, so a full 32*SW bit-level prefix would be wasted work).
     const u32 *cvp, *cvm;
     i32 clo, ctv;
     state_at(c0, &cvp, &cvm, &clo, &ctv);
-    std::vector<i32> cum(SW * 32 + 1);
-    cum[0] = ctv;
+    std::vector<i32> cumw(SW + 1);
+    cumw[0] = ctv;
     for (i32 w = 0; w < SW; w++)
-      for (i32 bit = 0; bit < 32; bit++) {
-        i32 idx = w * 32 + bit;
-        cum[idx + 1] =
-            cum[idx] + i32((cvp[w] >> bit) & 1) - i32((cvm[w] >> bit) & 1);
-      }
+      cumw[w + 1] = cumw[w] + __builtin_popcount(cvp[w]) -
+                    __builtin_popcount(cvm[w]);
     i32 ctop = clo * 32;
     auto col_val = [&](i32 j) -> i32 {
       i32 rel = j - ctop;
       if (rel < 0) return INF;
-      if (rel <= SW * 32) return cum[rel];
-      return cum[SW * 32] + rel - SW * 32;
+      if (rel >= SW * 32) return cumw[SW] + rel - SW * 32;
+      i32 w = rel / 32, bits = rel % 32;
+      u32 mask = (u32(1) << bits) - 1;
+      return cumw[w] + __builtin_popcount(cvp[w] & mask) -
+             __builtin_popcount(cvm[w] & mask);
     };
-    std::vector<std::vector<i32>> raw, ext;
-    // Greedy backward match extension, 8 chars per step (the reference's
-    // extend_left_simd, `astarpa2/src/blocks/trace.rs:453-500`).
+    // Greedy backward match extension (the reference's extend_left_simd,
+    // `astarpa2/src/blocks/trace.rs:453-500`): 64 chars per step where
+    // AVX-512BW is available, 8-char u64 steps otherwise / for the tail.
     auto extend_back = [&](i32 x, i32 D) -> i32 {
       if (x == kNoI) return kNoI;
+#if defined(__AVX512BW__)
+      while (x >= 64 && x + D >= 64) {
+        __m512i va = _mm512_loadu_si512((const void*)(a + x - 64));
+        __m512i vb = _mm512_loadu_si512((const void*)(b + x + D - 64));
+        u64 ne = _mm512_cmpneq_epu8_mask(va, vb);
+        if (ne) return x - i32(__builtin_clzll(ne));
+        x -= 64;
+      }
+#endif
       while (x >= 8 && x + D >= 8) {
         u64 va, vb;
         memcpy(&va, a + x - 8, 8);
@@ -1636,12 +1656,17 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
     };
     i32 found_g = -1, found_D = 0;
     for (i32 gl = 0; gl <= hard_cap && found_g < 0; gl++) {
-      raw.emplace_back(2 * gl + 1, kNoI);
-      ext.emplace_back(2 * gl + 1, kNoI);
+      size_t need = size_t(gl + 1) * size_t(gl + 1);
+      if (raw_fl.size() < need) {
+        size_t cap = std::max(need, raw_fl.size() * 2);
+        raw_fl.resize(cap);
+        ext_fl.resize(cap);
+      }
+      i32* rawg = raw_fl.data() + size_t(gl) * gl;
       auto prev_ext = [&](i32 D) -> i32 {
         i32 idx = D - D0 + (gl - 1);
         if (gl == 0 || idx < 0 || idx > 2 * (gl - 1)) return kNoI;
-        return ext[gl - 1][idx];
+        return ext_fl[size_t(gl - 1) * (gl - 1) + idx];
       };
       for (i32 D = D0 - gl; D <= D0 + gl; D++) {
         i32 r;
@@ -1662,8 +1687,8 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
           if (r != kNoI && (r < 0 || r + D < 0)) r = kNoI;
         }
         i32 e = extend_back(r, D);
-        raw[gl][D - D0 + gl] = r;
-        ext[gl][D - D0 + gl] = e;
+        rawg[D - D0 + gl] = r;
+        ext_fl[size_t(gl) * gl + (D - D0 + gl)] = e;
         if (e != kNoI && e <= c0 && c0 <= r) {
           i32 jv = c0 + D;
           if (jv >= 0 && jv <= m && col_val(jv) == Du - gl) {
@@ -1680,13 +1705,13 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
     std::string fwd;
     i32 x = c0, D = found_D;
     for (i32 gl = found_g; gl > 0; gl--) {
-      i32 r = raw[gl][D - D0 + gl];
+      i32 r = raw_fl[size_t(gl) * gl + (D - D0 + gl)];
       fwd.append(r - x, '=');
       x = r;
       auto pe = [&](i32 Dp) -> i32 {
         i32 idx = Dp - D0 + (gl - 1);
         if (idx < 0 || idx > 2 * (gl - 1)) return kNoI;
-        return ext[gl - 1][idx];
+        return ext_fl[size_t(gl - 1) * (gl - 1) + idx];
       };
       if (pe(D) != kNoI && pe(D) - 1 == x) {
         fwd += 'X';
