@@ -1593,7 +1593,7 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
   // demand — per-layer vector allocations were a measurable slice of the
   // trace at 10kbp.  Stale entries are never read: every prev-layer probe
   // is bounds-checked against a layer the current burst wrote completely.
-  std::vector<i32> raw_fl, ext_fl;
+  std::vector<i32> raw_fl, ext_fl, pe_pad;
 
   // Backward DT burst from (iu, ju) (banded value Du) to checkpoint column
   // c0: grow farthest-back-reaching layers X[g][D] (D = j - i diagonal,
@@ -1663,32 +1663,32 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
         ext_fl.resize(cap);
       }
       i32* rawg = raw_fl.data() + size_t(gl) * gl;
-      auto prev_ext = [&](i32 D) -> i32 {
-        i32 idx = D - D0 + (gl - 1);
-        if (gl == 0 || idx < 0 || idx > 2 * (gl - 1)) return kNoI;
-        return ext_fl[size_t(gl - 1) * (gl - 1) + idx];
-      };
-      for (i32 D = D0 - gl; D <= D0 + gl; D++) {
-        i32 r;
-        if (gl == 0) {
-          r = iu;
-        } else {
-          r = kNoI;
-          i32 c;
-          // sub from same diagonal
-          c = prev_ext(D);
-          if (c != kNoI && c - 1 < r) r = c - 1;
-          // del (consumes a) from D-1
-          c = prev_ext(D - 1);
-          if (c != kNoI && c - 1 < r) r = c - 1;
-          // ins (consumes b) from D+1
-          c = prev_ext(D + 1);
-          if (c != kNoI && c < r) r = c;
-          if (r != kNoI && (r < 0 || r + D < 0)) r = kNoI;
+      i32* extg = ext_fl.data() + size_t(gl) * gl;
+      // Pass 1 — raw positions for the whole layer, as a branch-free
+      // min-chain over a kNoI-padded copy of the previous layer (the
+      // compiler vectorizes this; kNoI saturates through the -1).
+      if (gl == 0) {
+        rawg[0] = iu;
+      } else {
+        const i32* prev = ext_fl.data() + size_t(gl - 1) * (gl - 1);
+        pe_pad.resize(2 * gl + 3);
+        pe_pad[0] = pe_pad[1] = kNoI;
+        memcpy(pe_pad.data() + 2, prev, (2 * gl - 1) * 4);
+        pe_pad[2 * gl + 1] = pe_pad[2 * gl + 2] = kNoI;
+        const i32* pp = pe_pad.data();
+        for (i32 idx = 0; idx <= 2 * gl; idx++) {
+          // sub/del sources sit one column back (-1); ins keeps x.
+          i32 r = std::min(std::min(pp[idx + 1], pp[idx]) - 1, pp[idx + 2]);
+          i32 D = D0 - gl + idx;
+          if (r >= kNoI - 1 || r < 0 || r + D < 0) r = kNoI;
+          rawg[idx] = r;
         }
+      }
+      // Pass 2 — greedy extension + landing check per state.
+      for (i32 D = D0 - gl; D <= D0 + gl; D++) {
+        i32 r = rawg[D - D0 + gl];
         i32 e = extend_back(r, D);
-        rawg[D - D0 + gl] = r;
-        ext_fl[size_t(gl) * gl + (D - D0 + gl)] = e;
+        extg[D - D0 + gl] = e;
         if (e != kNoI && e <= c0 && c0 <= r) {
           i32 jv = c0 + D;
           if (jv >= 0 && jv <= m && col_val(jv) == Du - gl) {
