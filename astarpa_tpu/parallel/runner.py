@@ -127,7 +127,7 @@ class BatchAligner:
         while True:
             if packed is None or 2 * len(pending) <= len(packed[2]):
                 bucket_pairs = [pairs[i] for i in pending]
-                args, B0 = pack_batch_staggered(bucket_pairs, self.lane_multiple)
+                args, B0 = pack_batch_staggered(bucket_pairs, self._pack_multiple())
                 args = self._shard(args)
                 packed = (args, B0, list(pending))
             args, B0, members = packed
@@ -195,11 +195,18 @@ class BatchAligner:
 
     def _pack_multiple(self, for_ck: bool = False) -> int:
         """Batch padding granularity: the configured lane multiple, raised
-        under a mesh so every shard still supports a full Pallas program
-        (the ck kernel needs >=128 pairs per shard)."""
+        (a) to >=128 lanes whenever the Pallas kernels are reachable — they
+        need >=128 pairs per program, and a 4-pair batch padded to 128
+        lanes costs only device time, vs. falling off onto the host
+        fallback (measured 16.7 s/pair instead of ~0.1 at 100kbp) — and
+        (b) under a mesh so every shard still gets a full program."""
         import math
 
+        import jax
+
         lm = self.lane_multiple
+        if jax.default_backend() == "tpu" or self.pallas_interpret:
+            lm = lm * 128 // math.gcd(lm, 128)
         if self.mesh is not None:
             ndev = self.mesh.devices.size
             need = ndev * 128 if for_ck else ndev
@@ -236,9 +243,9 @@ class BatchAligner:
             from .. import native
 
             on_tpu = jax.default_backend() == "tpu" or self.pallas_interpret
-            if not (
-                on_tpu and self.lane_multiple % 128 == 0 and native.available()
-            ):
+            # _pack_multiple pads to >=128 lanes whenever the Pallas path is
+            # reachable, so no lane_multiple gate is needed here.
+            if not (on_tpu and native.available()):
                 return None
         return mode
 
@@ -366,17 +373,22 @@ class BatchAligner:
                 if done and results is not None:
                     sel = np.asarray(done)
                     # Device-side gather of the certified pairs' checkpoints;
-                    # readback + (thread-pooled) traces drain in chunks once
-                    # the ladder has dispatched everything.
-                    ck_slices = (ckvp[:, :, sel], ckvm[:, :, sel], cktv[:, sel])
+                    # the staged async copies stream while later f-rounds and
+                    # buckets dispatch, and drain behind the thread-pooled
+                    # traces at flush time.
+                    chunks = _stage_ck_chunks(
+                        ckvp[:, :, sel], ckvm[:, :, sel], cktv[:, sel],
+                        len(done),
+                    )
                     # Must mirror _banded_call's effective (Q-rounded) CB.
                     CB = self._cb(sw, n_max)
                     CB = max(quantum, CB // quantum * quantum)
                     for pos, slot in enumerate(done):
                         i = idxs[slot]
                         sc = np.ascontiguousarray(scheds[slot].sched, np.int32)
+                        c0, sl = _chunk_of(chunks, pos)
                         trace_jobs.append(_TraceJob(
-                            pair=i, slices=ck_slices, pos=pos, shift=sc,
+                            pair=i, slices=sl, pos=pos - c0, shift=sc,
                             s_words=S, sw=sw, cb=CB, want=int(costs[slot]),
                         ))
                 for slot in done:
@@ -568,10 +580,8 @@ class BatchAligner:
 
         from .. import native
 
-        if (
-            native.available()
-            and (jax.default_backend() == "tpu" or self.pallas_interpret)
-            and self.lane_multiple % 128 == 0
+        if native.available() and (
+            jax.default_backend() == "tpu" or self.pallas_interpret
         ):
             return self._align_combined(pairs)
 
@@ -660,6 +670,24 @@ class BatchAligner:
                     a0, a1, pb0, pb1, n, m, sw, CB, pp
                 )
                 stats.cells_computed += n_max * sw * W * len(members)
+                # Optimistic readback: start streaming every member lane's
+                # checkpoints BEFORE the certification sync — the transfers
+                # hide the cost-readback latency, and the common case (a
+                # predicted rung certifies everything) needs them all.  A
+                # failed rung wastes at most _OPT_READBACK_BYTES of link.
+                lanes = len(members)
+                per_lane = 4 * (
+                    int(ckvp.size) + int(ckvm.size) + int(cktv.size)
+                ) // max(1, int(ckvp.shape[2]))
+                opt_chunks = None
+                if per_lane * lanes <= _OPT_READBACK_BYTES:
+                    # Queue the (tiny) cost vector's copy FIRST so
+                    # certification isn't stuck behind megabytes of
+                    # checkpoint bytes on the link.
+                    copy = getattr(got, "copy_to_host_async", None)
+                    if copy is not None:
+                        copy()
+                    opt_chunks = _stage_ck_chunks(ckvp, ckvm, cktv, lanes)
                 costs = np.asarray(got)[:B0]
                 if sw >= S:
                     ok = np.ones(B0, dtype=bool)
@@ -675,16 +703,25 @@ class BatchAligner:
                               if i in pending_set and not ok[slot]]
                 next_pending = [members[slot] for slot in fail_slots]
                 if sel:
-                    # Gather only certified pairs' checkpoints on device (the
-                    # host link is the scarce resource) and defer the traces
-                    # until the whole ladder has dispatched — readback then
-                    # streams in chunks behind the thread-pooled traces.
-                    sel = np.asarray(sel)
-                    ck_slices = (ckvp[:, :, sel], ckvm[:, :, sel], cktv[:, sel])
+                    # Defer the traces until the whole ladder has dispatched;
+                    # the staged chunk copies stream behind the thread-pooled
+                    # traces at flush time.  When the optimistic copies were
+                    # not issued (big buffers), gather only certified lanes —
+                    # the host link is the scarce resource.
                     shift = banded.shift_at_array(n_max, S, sw)
+                    if opt_chunks is None:
+                        sel_arr = np.asarray(sel)
+                        chunks = _stage_ck_chunks(
+                            ckvp[:, :, sel_arr], ckvm[:, :, sel_arr],
+                            cktv[:, sel_arr], len(sel),
+                        )
+                    else:
+                        chunks = opt_chunks
                     for pos, slot in enumerate(sel):
+                        p = slot if opt_chunks is not None else pos
+                        c0, sl = _chunk_of(chunks, p)
                         trace_jobs.append(_TraceJob(
-                            pair=members[slot], slices=ck_slices, pos=pos,
+                            pair=members[slot], slices=sl, pos=p - c0,
                             shift=shift, s_words=S, sw=sw, cb=CB,
                             want=int(costs[slot]),
                         ))
@@ -738,12 +775,12 @@ class BatchAligner:
         )
 
     def _flush_traces(self, trace_jobs: list, pairs, results) -> None:
-        """Drain deferred checkpoint traces: the device->host checkpoint
-        readback streams in CHUNKS while a thread pool traces the chunks
-        that already arrived (the native calls release the GIL, and so
-        does the transfer wait) — on the slow-readback tunnel rig the
-        transfer hides behind the traces and vice versa.  Clears
-        ``trace_jobs``."""
+        """Drain deferred checkpoint traces.  Every job's chunk already has
+        its device->host copy in flight (issued at job creation by
+        :func:`_stage_ck_chunks`), so the blocking ``np.asarray`` here
+        completes in arrival order while a thread pool traces the chunks
+        that already arrived (both the native calls and the transfer wait
+        release the GIL).  Clears ``trace_jobs``."""
         if not trace_jobs:
             return
         import os
@@ -751,41 +788,33 @@ class BatchAligner:
 
         from .. import native
 
-        def run(job: "_TraceJob", vp, vm, tv, pos):
+        def run(job: "_TraceJob", vp, vm, tv):
             a, b = pairs[job.pair]
             cost, cigar = native.trace_banded_ck(
-                a, b, job.s_words, vp[:, :, pos], vm[:, :, pos],
-                tv[:, pos], job.shift, job.sw, job.cb,
+                a, b, job.s_words, vp[:, :, job.pos], vm[:, :, job.pos],
+                tv[:, job.pos], job.shift, job.sw, job.cb,
             )
             assert cost == job.want, (cost, job.want)
             return job.pair, cost, cigar
 
         groups: dict[int, list] = {}
+        order: list[int] = []
         for job in trace_jobs:
-            groups.setdefault(id(job.slices), []).append(job)
+            key = id(job.slices)
+            if key not in groups:
+                order.append(key)
+            groups.setdefault(key, []).append(job)
         workers = max(1, min(len(trace_jobs), os.cpu_count() or 1))
         futures = []
         with ThreadPoolExecutor(workers) as ex:
-            for jobs in groups.values():
-                jobs.sort(key=lambda j: j.pos)
-                ckvp, ckvm, cktv = jobs[0].slices
-                # Chunked streaming only pays when the transfer is
-                # bandwidth-bound: below ~8MB the per-transfer latency
-                # (~150ms on the tunnel rig) would dominate 4 small
-                # transfers, so read back in one piece.
-                total_bytes = sum(int(x.size) * 4 for x in jobs[0].slices)
-                n_chunks = 4 if total_bytes > 8 * 2 ** 20 else 1
-                step = max(1, -(-len(jobs) // n_chunks))
-                for c0 in range(0, len(jobs), step):
-                    chunk = jobs[c0 : c0 + step]
-                    p0, p1 = chunk[0].pos, chunk[-1].pos + 1
-                    vp = np.asarray(ckvp[:, :, p0:p1])
-                    vm = np.asarray(ckvm[:, :, p0:p1])
-                    tv = np.asarray(cktv[:, p0:p1])
-                    for job in chunk:
-                        futures.append(
-                            ex.submit(run, job, vp, vm, tv, job.pos - p0)
-                        )
+            for key in order:
+                jobs = groups[key]
+                vp_d, vm_d, tv_d = jobs[0].slices
+                vp = np.asarray(vp_d)
+                vm = np.asarray(vm_d)
+                tv = np.asarray(tv_d)
+                for job in jobs:
+                    futures.append(ex.submit(run, job, vp, vm, tv))
             for f in futures:
                 i, cost, cigar = f.result()
                 results[i] = (cost, cigar)
@@ -798,7 +827,7 @@ class BatchAligner:
         from ..ops.pallas_myers import pack_batch_staggered
 
         bucket_pairs = [pairs[i] for i in idxs]
-        args, B0 = pack_batch_staggered(bucket_pairs, self.lane_multiple)
+        args, B0 = pack_batch_staggered(bucket_pairs, self._pack_multiple(for_ck=True))
         a0, a1, pb0, pb1, n, m = args
         n_max, S = a0.shape[0], pb0.shape[0]
         # Wide-enough certified band for every pair in the bucket.
@@ -827,19 +856,19 @@ class BatchAligner:
             got, ckvp, ckvm, cktv = self._ck_kernel(
                 a0, a1, pb0, pb1, n, m, sw, CB, pp
             )
-            # Slice off the padding lanes on device: only the real pairs'
-            # checkpoints cross the (slow) device->host link.
-            ckvp = np.asarray(ckvp[:, :, :B0])
-            ckvm = np.asarray(ckvm[:, :, :B0])
-            cktv = np.asarray(cktv[:, :B0])
+            # Only the real pairs' checkpoints cross the (slow) device->host
+            # link; the staged copies stream behind the thread-pooled traces.
+            chunks = _stage_ck_chunks(
+                ckvp[:, :, :B0], ckvm[:, :, :B0], cktv[:, :B0], B0
+            )
+            jobs = []
             for slot, i in enumerate(idxs):
-                a, b = pairs[i]
-                cost, cigar = native.trace_banded_ck(
-                    a, b, S, ckvp[:, :, slot], ckvm[:, :, slot],
-                    cktv[:, slot], shift, sw, CB,
-                )
-                assert cost == costs[i], (cost, costs[i])
-                results[i] = (cost, cigar)
+                c0, sl = _chunk_of(chunks, slot)
+                jobs.append(_TraceJob(
+                    pair=i, slices=sl, pos=slot - c0, shift=shift,
+                    s_words=S, sw=sw, cb=CB, want=int(costs[i]),
+                ))
+            self._flush_traces(jobs, pairs, results)
             return
         if sw > 64 and native.available():
             # Bands too large for the jnp fill's memory: exact per-pair
@@ -915,17 +944,59 @@ from dataclasses import dataclass as _dc
 
 @_dc
 class _TraceJob:
-    """One deferred checkpoint trace: pair index + its column in a batch of
-    device-resident checkpoint slices (read back lazily at flush time)."""
+    """One deferred checkpoint trace: pair index + its column in a staged
+    readback chunk (whose device->host copy is already in flight)."""
 
     pair: int
-    slices: tuple  # (ckvp, ckvm, cktv) device arrays, certified pairs only
-    pos: int       # this pair's column within the slices
+    slices: tuple  # (ckvp, ckvm, cktv) device arrays of ONE staged chunk
+    pos: int       # this pair's column within the chunk
     shift: np.ndarray
     s_words: int
     sw: int
     cb: int
     want: int
+
+
+# The tunnel rig's device->host link has ~150ms per-transfer latency on top
+# of ~7MB/s bandwidth, so the readback strategy is: few transfers, all
+# issued asynchronously as early as possible.  Chunks of ~2MB let the
+# thread-pooled traces of chunk k overlap the transfer of chunk k+1.
+_CHUNK_TARGET_BYTES = 2 * 2**20
+# Ceiling for the *optimistic* pre-certification readback (checkpoints of
+# every lane stream to the host before the cost vector arrives; a failed
+# rung wastes at most this many bytes).
+_OPT_READBACK_BYTES = 4 * 2**20
+
+
+def _stage_ck_chunks(ckvp, ckvm, cktv, lanes: int):
+    """Split checkpoint planes into per-lane-range chunks and start an async
+    device->host copy for each; returns ``[(c0, c1, (vp, vm, tv)), ...]``.
+
+    Issuing every copy up front pays the link's per-transfer latency once
+    (the copies pipeline behind each other) instead of once per blocking
+    ``np.asarray`` at trace time."""
+    per_lane = 4 * (
+        int(ckvp.size) + int(ckvm.size) + int(cktv.size)
+    ) // max(1, int(ckvp.shape[2]))
+    n_chunks = int(max(1, min(8, per_lane * lanes // _CHUNK_TARGET_BYTES)))
+    step = -(-lanes // n_chunks)
+    chunks = []
+    for c0 in range(0, lanes, step):
+        c1 = min(lanes, c0 + step)
+        sl = (ckvp[:, :, c0:c1], ckvm[:, :, c0:c1], cktv[:, c0:c1])
+        for x in sl:
+            copy = getattr(x, "copy_to_host_async", None)
+            if copy is not None:
+                copy()
+        chunks.append((c0, c1, sl))
+    return chunks
+
+
+def _chunk_of(chunks, p: int):
+    for c0, c1, sl in chunks:
+        if c0 <= p < c1:
+            return c0, sl
+    raise AssertionError(f"position {p} outside staged chunks")
 
 
 @functools.lru_cache(maxsize=None)
