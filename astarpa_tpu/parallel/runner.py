@@ -250,7 +250,8 @@ class BatchAligner:
         return mode
 
     def _domain_ladder(self, pairs, idxs, out, stats, results=None,
-                       mode: str = "gcsh") -> None:
+                       mode: str = "gcsh",
+                       trace_jobs: list | None = None) -> None:
         """f ladder over heuristic-restricted per-pair bands (the batched
         re-expression of `astarpa2`'s band doubling + A* domain): sample
         each pair's fwd+rev GCSH domain at its own f, run ONE device pass
@@ -301,7 +302,9 @@ class BatchAligner:
                 ]
         else:
             handles = [_GapDomainProvider(a, b) for a, b in bucket_pairs]
-        trace_jobs: list = []
+        flush_here = trace_jobs is None
+        if flush_here:
+            trace_jobs = []
         try:
             # First-round f: h0 plus a ~25% margin for gcsh (unpruned GCSH
             # underestimates d by ~10-20% at high divergence, so f=h0 almost
@@ -409,12 +412,15 @@ class BatchAligner:
             if results is None:
                 self._run_bucket(pairs, rest, out, stats)
             else:
+                self._align_bucket_ck(
+                    pairs, rest, results, stats, trace_jobs=trace_jobs
+                )
                 self._flush_traces(trace_jobs, pairs, results)
-                self._align_bucket_ck(pairs, rest, results, stats)
                 for i in rest:
                     out[i] = results[i][0]
         finally:
-            self._flush_traces(trace_jobs, pairs, results)
+            if flush_here:
+                self._flush_traces(trace_jobs, pairs, results)
             for h in handles:
                 h.close()
 
@@ -614,26 +620,41 @@ class BatchAligner:
             else:
                 todo.append(idx)
         outc = np.full(len(pairs), -1, dtype=np.int64)
-        for bucket in _buckets(pairs, todo):
-            stats.buckets += 1
-            mode = self._resolve_domain_mode(pairs, bucket, want_cigars=True)
-            if mode:
-                self._domain_ladder(
-                    pairs, bucket, outc, stats, results=results, mode=mode
-                )
-            else:
-                self._align_bucket_ck(pairs, bucket, results, stats)
+        # One deferred trace list across ALL buckets: bucket k's traces and
+        # chunk transfers drain behind bucket k+1's pack/dispatch instead of
+        # blocking it.
+        trace_jobs: list = []
+        try:
+            for bucket in _buckets(pairs, todo):
+                stats.buckets += 1
+                mode = self._resolve_domain_mode(pairs, bucket, want_cigars=True)
+                if mode:
+                    self._domain_ladder(
+                        pairs, bucket, outc, stats, results=results, mode=mode,
+                        trace_jobs=trace_jobs,
+                    )
+                else:
+                    self._align_bucket_ck(
+                        pairs, bucket, results, stats, trace_jobs=trace_jobs
+                    )
+        finally:
+            self._flush_traces(trace_jobs, pairs, results)
         stats.aligned_bp = sum(len(a) for a, _ in pairs)
         return results, stats
 
-    def _align_bucket_ck(self, pairs, idxs, results, stats) -> None:
+    def _align_bucket_ck(self, pairs, idxs, results, stats,
+                         trace_jobs: list | None = None) -> None:
         from ..ops import banded
         from ..ops.pallas_myers import pack_batch_staggered
 
         band = self.band_words
         pending = idxs
         attempt = 0
-        trace_jobs: list = []
+        # Caller-owned job list = traces drain after ALL buckets dispatch;
+        # local list = drain on return (standalone use).
+        flush_here = trace_jobs is None
+        if flush_here:
+            trace_jobs = []
         packed = None  # reused across rungs (see _run_bucket)
         try:
             while True:
@@ -733,7 +754,8 @@ class BatchAligner:
                 band = self._next_band(band, costs, fail_slots, n, m, B0, n_max, S)
                 attempt += 1
         finally:
-            self._flush_traces(trace_jobs, pairs, results)
+            if flush_here:
+                self._flush_traces(trace_jobs, pairs, results)
 
     def _ck_kernel(self, a0, a1, pb0, pb1, n, m, sw: int, CB: int, pp: int):
         """Checkpointing-kernel dispatch: single device, or shard_map over
@@ -872,12 +894,22 @@ class BatchAligner:
             return
         if sw > 64 and native.available():
             # Bands too large for the jnp fill's memory: exact per-pair
-            # traceback through the native A* runtime instead.
+            # traceback on the host — the native A* runtime at moderate
+            # divergence, the band-doubling block aligner (native block
+            # backend) when divergence is high enough that A*'s open set
+            # explodes (~>8% of the shorter sequence).
+            from ..aligners.astarpa2 import AstarPa2Params
             from ..native import astarpa_native
 
+            block_aligner = None
             for i in idxs:
                 a, b = pairs[i]
-                cost, cigar = astarpa_native(a, b)
+                if int(costs[i]) * 12 >= min(len(a), len(b)):
+                    if block_aligner is None:
+                        block_aligner = AstarPa2Params.simple().make_aligner(True)
+                    cost, cigar = block_aligner.align(a, b)
+                else:
+                    cost, cigar = astarpa_native(a, b)
                 assert cost == costs[i], (cost, costs[i])
                 results[i] = (cost, cigar)
             return
