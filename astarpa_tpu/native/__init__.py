@@ -131,23 +131,27 @@ def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, ck_tv,
                     use_dt: bool = True):
     """CIGAR from per-block banded checkpoints.
 
-    ck_vp/ck_vm: (n_ck, SW) uint32 for this pair; ck_tv: (n_ck,) int32
-    device top_val at the checkpoints; shift_at: (>=n,) int32 bucket
-    schedule.  The inter-checkpoint path comes from backward DT bursts
-    (use_dt) with a stripe-recompute fallback.  Returns (cost, Cigar).
+    ck_vp/ck_vm: (n_ck, ck_rows) uint32 for this pair — ck_rows ==
+    band_words is the classic contract (row 0 = window top); ck_rows ==
+    band_words + 8 is the striped kernel's 8-aligned-top contract (the
+    true window starts at row ``lo & 7``; inferred from the shape).
+    ck_tv: (n_ck,) int32 device top_val at the checkpoints; shift_at:
+    (>=n,) int32 bucket schedule.  The inter-checkpoint path comes from
+    backward DT bursts (use_dt) with a stripe-recompute fallback.
+    Returns (cost, Cigar).
     """
     import numpy as np
 
     lib = load()
     if not hasattr(lib, "_ck_proto_set"):
-        lib.trace_banded_ck.restype = ctypes.c_int
-        lib.trace_banded_ck.argtypes = [
+        lib.trace_banded_ck_rows.restype = ctypes.c_int
+        lib.trace_banded_ck_rows.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_char_p),
         ]
         lib._ck_proto_set = True
@@ -156,14 +160,14 @@ def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, ck_tv,
     tv = np.ascontiguousarray(ck_tv, dtype=np.int32)
     sh = np.ascontiguousarray(shift_at, dtype=np.int32)
     cigar_p = ctypes.c_char_p()
-    cost = lib.trace_banded_ck(
+    cost = lib.trace_banded_ck_rows(
         a, len(a), b, len(b), s_words,
         vp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         vm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         tv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         vp.shape[0],
         sh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        band_words, col_block, int(use_dt),
+        band_words, col_block, int(use_dt), int(vp.shape[1]),
         ctypes.byref(cigar_p),
     )
     assert cost >= 0, "checkpointed banded traceback failed"

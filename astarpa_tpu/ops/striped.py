@@ -118,6 +118,50 @@ def _striped_kernel(
     vp, vm, aux, acc, tot, sc, p0v, p1v, axv, cin, cst8, dma,
     *, WS: int, TB: int, SW: int, n_stripes: int, FRONT: int,
 ):
+    _striped_body(
+        ent_ref, abs_ref, own0_ref, own1_ref, cap0_ref, cap1_ref, act_ref,
+        p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
+        out_ref, carA_ref, carB_ref,
+        vp, vm, aux, acc, tot, sc, p0v, p1v, axv, cin, cst8, dma,
+        WS=WS, TB=TB, SW=SW, n_stripes=n_stripes, FRONT=FRONT, ck=None,
+    )
+
+
+def _striped_ck_kernel(
+    # scalar prefetch (cost arrays + checkpoint event arrays)
+    ent_ref, abs_ref, own0_ref, own1_ref, cap0_ref, cap1_ref, act_ref,
+    ckt0_ref, ckw0_ref, ckw0a_ref, ckj0_ref, ckj1_ref,
+    # inputs
+    p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
+    # outputs (+ checkpoint planes in HBM)
+    out_ref, carA_ref, carB_ref, ckvp_ref, ckvm_ref, cktv_ref,
+    # scratch (+ capture staging tiles and their DMA semaphore)
+    vp, vm, aux, acc, tot, sc, p0v, p1v, axv, cin, cst8,
+    vst8, mst8, tvst, dma, dma2,
+    *, WS: int, TB: int, SW: int, SWP: int, LIVE8: int, n_stripes: int,
+    FRONT: int,
+):
+    ck = dict(
+        t0=ckt0_ref, w0=ckw0_ref, w0a=ckw0a_ref, j0=ckj0_ref, j1=ckj1_ref,
+        vp=ckvp_ref, vm=ckvm_ref, tv=cktv_ref,
+        vst8=vst8, mst8=mst8, tvst=tvst, dma2=dma2, SWP=SWP, LIVE8=LIVE8,
+    )
+    _striped_body(
+        ent_ref, abs_ref, own0_ref, own1_ref, cap0_ref, cap1_ref, act_ref,
+        p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
+        out_ref, carA_ref, carB_ref,
+        vp, vm, aux, acc, tot, sc, p0v, p1v, axv, cin, cst8, dma,
+        WS=WS, TB=TB, SW=SW, n_stripes=n_stripes, FRONT=FRONT, ck=ck,
+    )
+
+
+def _striped_body(
+    ent_ref, abs_ref, own0_ref, own1_ref, cap0_ref, cap1_ref, act_ref,
+    p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
+    out_ref, carA_ref, carB_ref,
+    vp, vm, aux, acc, tot, sc, p0v, p1v, axv, cin, cst8, dma,
+    *, WS: int, TB: int, SW: int, n_stripes: int, FRONT: int, ck,
+):
     p = pl.program_id(0)
     s = pl.program_id(1)
     k = pl.program_id(2)
@@ -152,6 +196,20 @@ def _striped_kernel(
         sc[1] = base  # next word of THIS stripe to enter
         sc[2] = abs_ref[base]  # cached next absorb time
         sc[3] = ent_ref[base]  # cached next enter time
+        if ck is not None:
+            # Checkpoint capture cursor: current ck index for this stripe
+            # and its next capture-begin time (the stripe captures only
+            # its own rows of the 8-aligned window [w0a, w0a + SWP)).
+            j = ck["j0"][s]
+            sc[4] = j
+            sc[5] = jnp.where(
+                j < ck["j1"][s],
+                ck["t0"][j] + jnp.maximum(0, base - ck["w0a"][j]),
+                _NEVER,
+            )
+            sc[6] = 0  # current plane row
+            sc[7] = 0  # window-top plane word (w0a)
+            sc[8] = 0  # end plane row (capture idle while 6 >= 8)
 
     @pl.when(act_ref[s, k] > 0)
     def _active_block():
@@ -267,6 +325,93 @@ def _striped_kernel(
                     co.start()
                     co.wait()
 
+                if ck is not None:
+                    SWP = ck["SWP"]
+                    # -- checkpoint capture (see pinned.py's _ck_* for the
+                    # timing math): the state after column ckcol lies on an
+                    # anti-diagonal (word w finishes it at t = ckcol-1+w).
+                    # This stripe captures its own rows of the 8-ALIGNED
+                    # window [w0a, w0a+SWP), one row per step into 8-row
+                    # staging tiles; stripe boundaries are 8-aligned, so
+                    # flush groups never split.  top_val comes from the
+                    # stripe owning the TRUE top w0: earlier stripes'
+                    # folded acc (out_ref) plus this stripe's absorbed sum.
+                    @pl.when(t == sc[5])
+                    def _ck_begin():
+                        w0a = ck["w0a"][sc[4]]
+                        sc[7] = w0a
+                        sc[6] = jnp.maximum(w0a, base) - w0a
+                        # Clamp to the live words (rounded up to the 8-row
+                        # flush grain): the true SW-word window always fits
+                        # (lo + SW <= live); only the +8 pad can spill.
+                        sc[8] = (
+                            jnp.minimum(
+                                jnp.minimum(w0a + SWP, base + WS), ck["LIVE8"]
+                            )
+                            - w0a
+                        )
+
+                    @pl.when(sc[6] < sc[8])
+                    def _ck_capture():
+                        srow = sc[6]
+                        vrow = sc[7] + srow - base
+                        sel8 = iota8 == (srow % 8)
+                        ck["vst8"][:] = jnp.where(
+                            sel8, vp[vrow][None, :], ck["vst8"][:]
+                        )
+                        ck["mst8"][:] = jnp.where(
+                            sel8, vm[vrow][None, :], ck["mst8"][:]
+                        )
+
+                        @pl.when(sc[7] + srow == ck["w0"][sc[4]])
+                        def _ck_tv():
+                            ckcol = t - (sc[7] + srow) + 1
+                            ck["tvst"][:] = jnp.where(
+                                iota8 == 0,
+                                (
+                                    out_ref[0, 0]
+                                    + jnp.sum(acc[:], axis=0)
+                                    + ckcol
+                                )[None, :],
+                                ck["tvst"][:],
+                            )
+                            cpt = pltpu.make_async_copy(
+                                ck["tvst"], ck["tv"].at[p, sc[4]], ck["dma2"]
+                            )
+                            cpt.start()
+                            cpt.wait()
+
+                        sc[6] = srow + 1
+
+                        @pl.when(srow % 8 == 7)
+                        def _ck_flush():
+                            s8 = srow - 7
+                            cpv = pltpu.make_async_copy(
+                                ck["vst8"],
+                                ck["vp"].at[p, sc[4], pl.ds(s8, 8)],
+                                ck["dma2"],
+                            )
+                            cpv.start()
+                            cpv.wait()
+                            cpm = pltpu.make_async_copy(
+                                ck["mst8"],
+                                ck["vm"].at[p, sc[4], pl.ds(s8, 8)],
+                                ck["dma2"],
+                            )
+                            cpm.start()
+                            cpm.wait()
+
+                            @pl.when(srow + 1 == sc[8])
+                            def _ck_next():
+                                j = sc[4] + 1
+                                sc[4] = j
+                                sc[5] = jnp.where(
+                                    j < ck["j1"][s],
+                                    ck["t0"][j]
+                                    + jnp.maximum(0, base - ck["w0a"][j]),
+                                    _NEVER,
+                                )
+
                 @pl.when((t >= cap0_ref[s]) & (t < cap1_ref[s]))
                 def _capture():
                     w_abs = iota + base
@@ -348,6 +493,71 @@ def _striped_call(WS, TB, SW, ntiles, n_stripes, n_tb, T_pad, FRONT,
             jax.ShapeDtypeStruct((ntiles, 1, 128), jnp.int32),
             car_shape,
             car_shape,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+@functools.lru_cache(maxsize=None)
+def _striped_ck_call(WS, TB, SW, SWP, LIVE8, ntiles, n_stripes, n_tb, T_pad,
+                     FRONT, n_ck, interpret):
+    kernel = functools.partial(
+        _striped_ck_kernel, WS=WS, TB=TB, SW=SW, SWP=SWP, LIVE8=LIVE8,
+        n_stripes=n_stripes, FRONT=FRONT,
+    )
+    car_shape = jax.ShapeDtypeStruct((ntiles, T_pad + 8, 128), jnp.uint32)
+    ck_shape = jax.ShapeDtypeStruct((ntiles, n_ck, SWP, 128), jnp.uint32)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=12,
+            grid=(ntiles, n_stripes, n_tb),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p0 (ntiles, nw_pad, 128)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # p1
+                pl.BlockSpec(memory_space=pltpu.ANY),  # code (ntiles, FRONT+T_pad, 128)
+                pl.BlockSpec((1, 1, 128), lambda p, s, k, *a: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, s, k, *a: (p, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda p, s, k, *a: (p, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, 128), lambda p, s, k, *a: (p, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # carry plane A
+                pl.BlockSpec(memory_space=pltpu.ANY),  # carry plane B
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ckvp
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ckvm
+                pl.BlockSpec(memory_space=pltpu.ANY),  # cktv
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((WS, 128), jnp.uint32),   # vp
+                pltpu.VMEM((WS, 128), jnp.uint32),   # vm
+                pltpu.VMEM((WS, 128), jnp.uint32),   # aux
+                pltpu.VMEM((WS, 128), jnp.int32),    # acc
+                pltpu.VMEM((8, 128), jnp.int32),     # tot
+                pltpu.SMEM((12,), jnp.int32),        # counters
+                pltpu.VMEM((WS, 128), jnp.uint32),   # p0v
+                pltpu.VMEM((WS, 128), jnp.uint32),   # p1v
+                pltpu.VMEM((TB, 128), jnp.uint32),   # axv (code chunk)
+                pltpu.VMEM((TB, 128), jnp.uint32),   # cin (carry chunk)
+                pltpu.VMEM((8, 128), jnp.uint32),    # cst8 carry staging
+                pltpu.VMEM((8, 128), jnp.uint32),    # vst8 ck staging
+                pltpu.VMEM((8, 128), jnp.uint32),    # mst8 ck staging
+                pltpu.VMEM((8, 128), jnp.int32),     # tvst ck top_val staging
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 1, 128), jnp.int32),
+            car_shape,
+            car_shape,
+            ck_shape,
+            ck_shape,
+            jax.ShapeDtypeStruct((ntiles, n_ck, 8, 128), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
@@ -445,3 +655,171 @@ def striped_cost_tpu(
     res = out.reshape(B) + jnp.asarray(n_np.astype(np.int32))
     covered = (m_np - loend * W) <= SW * W
     return jnp.where(jnp.asarray(covered), res, INF32)
+
+
+def striped_ck_tpu(
+    a0, a1, pb0, pb1, n, m, band_words: int, col_block: int | None = None,
+    stripe_words: int = 1024, time_block: int = 512, interpret: bool = False,
+):
+    """Striped banded cost + per-block window checkpoints: big-band (or
+    full-height) CIGAR traces with NO VMEM band ceiling.
+
+    Contract: returns ``(costs (B,), ck_vp (n_ck, SW+8, B), ck_vm,
+    ck_tv (n_ck, B))`` — the 8-ALIGNED-TOP variant of
+    :func:`pallas_banded.banded_ck_tpu`'s contract: checkpoint k's plane
+    rows cover words ``[lo_k & ~7, (lo_k & ~7) + SW + 8)`` (stripe
+    boundaries are 8-aligned, so capture flush groups never split across
+    stripes); the native ``trace_banded_ck_rows`` consumes it directly
+    (the wrapper infers the layout from the plane shape).  Requires
+    ``CB >= SW + 8`` so capture anti-diagonals never overlap.
+    """
+    n_max, B = a0.shape
+    S = pb0.shape[0]
+    SW = min(band_words, S)
+    SWP = SW + 8
+    assert B % 128 == 0 and SW % 8 == 0
+    ntiles = B // 128
+    WS = stripe_words
+    assert WS % 8 == 0
+    CB = col_block if col_block else max(1024, SWP)
+    CB = min(max(CB, SWP), max(n_max, 1))
+    n_ck = n_max // CB + 1
+
+    plan = _plan_striped(n_max, S, SW, WS, time_block)
+    TB = plan["TB"]
+    n_stripes, nw_pad = plan["n_stripes"], plan["nw_pad"]
+    lo = plan["lo"]
+    LIVE8 = -(-plan["n_words_live"] // 8) * 8
+    # Capture anti-diagonals can trail the last compute step by up to SWP
+    # steps: extend the time grid by one block so the tail always lands in
+    # an ACTIVE block (and never splits a stripe's contiguous active run —
+    # a gap would re-init the stripe state mid-capture).
+    n_tb = plan["n_tb"] + 1
+    T_pad = plan["T_pad"] + TB
+
+    n_np = np.asarray(n).astype(np.int64)
+    m_np = np.asarray(m).astype(np.int64)
+    loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
+    cap0 = np.zeros(n_stripes, np.int32)
+    cap1 = np.zeros(n_stripes, np.int32)
+    for s in range(n_stripes):
+        st = n_np - 1 + np.maximum(loend, s * WS)
+        en = n_np - 1 + np.minimum(loend + SW, (s + 1) * WS)
+        valid = (en > st) & (n_np > 0)
+        if valid.any():
+            cap0[s] = int(st[valid].min())
+            cap1[s] = int(min(en[valid].max(), T_pad))
+
+    # Checkpoint events: window k (k >= 1) = state after column k*CB with
+    # true top w0 = lo[k*CB - 1]; the emitted plane top is w0a = w0 & ~7
+    # and word w's capture time is t = k*CB - 1 + w.
+    ckw0 = np.zeros(n_ck + 8, np.int32)
+    ckw0a = np.zeros(n_ck + 8, np.int32)
+    ckt0 = np.full(n_ck + 8, _NEVER, np.int32)
+    for ckx in range(1, n_ck):
+        ckcol = ckx * CB
+        w0 = int(lo[ckcol - 1])
+        ckw0[ckx] = w0
+        ckw0a[ckx] = w0 & ~7
+        ckt0[ckx] = ckcol - 1 + (w0 & ~7)
+    # Per-stripe contiguous checkpoint ranges (w0a monotone in k).
+    ckj0 = np.zeros(n_stripes, np.int32)
+    ckj1 = np.zeros(n_stripes, np.int32)
+    blk_active = np.concatenate(
+        [plan["blk_active"][:, : plan["n_tb"]],
+         np.zeros((n_stripes, 2), np.int32)], 1,
+    )
+    for s in range(n_stripes):
+        base = s * WS
+        # A stripe captures checkpoint j iff j's REAL window [lo, lo+SW)
+        # intersects its words (contiguous in j since lo is monotone).
+        # Pad-only overlaps (just the <=7+8 alignment rows) are skipped —
+        # their rows stay garbage and are never read — because their
+        # capture anti-diagonals can precede the stripe's band life by an
+        # unbounded margin (a stalled cursor would skip later windows).
+        hit = [
+            j for j in range(1, n_ck)
+            if ckw0[j] + SW > base and ckw0[j] < base + WS
+        ]
+        if not hit:
+            continue
+        ckj0[s] = hit[0]
+        ckj1[s] = hit[-1] + 1
+        # Stretch this stripe's contiguous active run over all its capture
+        # windows: a capture step can precede the stripe's first enter
+        # event by one step (enterc == ckcol edge) and trail its last
+        # compute by up to SWP steps.
+        tmin = min(ckt0[j] + max(0, base - ckw0a[j]) for j in hit)
+        tend = max(
+            ckt0[j] + min(ckw0a[j] + SWP, base + WS, LIVE8) - ckw0a[j]
+            for j in hit
+        )
+        act = np.nonzero(blk_active[s, : plan["n_tb"]])[0]
+        b0 = int(tmin) // TB
+        b1 = -(-int(tend) // TB)
+        if len(act):
+            b0 = min(b0, int(act[0]))
+            b1 = max(b1, int(act[-1]) + 1)
+        blk_active[s, b0:b1] = 1
+
+    FRONT = nw_pad
+    pb0j = jnp.asarray(pb0)
+    pb1j = jnp.asarray(pb1)
+    if nw_pad > S:
+        pb0j = jnp.concatenate(
+            [pb0j, jnp.broadcast_to(pb0j[-1], (nw_pad - S, B))], 0
+        )
+        pb1j = jnp.concatenate(
+            [pb1j, jnp.broadcast_to(pb1j[-1], (nw_pad - S, B))], 0
+        )
+    else:
+        pb0j = pb0j[:nw_pad]
+        pb1j = pb1j[:nw_pad]
+    code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
+        jnp.uint32
+    )
+    code = jnp.concatenate(
+        [
+            jnp.zeros((FRONT, B), jnp.uint32),
+            code,
+            jnp.zeros((max(T_pad - n_max, 0), B), jnp.uint32),
+        ],
+        0,
+    )[: FRONT + T_pad]
+
+    out, _carA, _carB, ckvp, ckvm, cktv = _striped_ck_call(
+        WS, TB, SW, SWP, LIVE8, ntiles, n_stripes, n_tb, T_pad, FRONT, n_ck,
+        interpret,
+    )(
+        jnp.asarray(np.concatenate([plan["ent_t"], np.full(8, _NEVER)])),
+        jnp.asarray(np.concatenate([plan["abs_t"], np.full(8, _NEVER)])),
+        jnp.asarray(plan["own0"]),
+        jnp.asarray(plan["own1"]),
+        jnp.asarray(cap0),
+        jnp.asarray(cap1),
+        jnp.asarray(blk_active),
+        jnp.asarray(ckt0),
+        jnp.asarray(ckw0),
+        jnp.asarray(ckw0a),
+        jnp.asarray(ckj0),
+        jnp.asarray(ckj1),
+        jnp.moveaxis(pb0j.reshape(nw_pad, ntiles, 128), 1, 0),
+        jnp.moveaxis(pb1j.reshape(nw_pad, ntiles, 128), 1, 0),
+        jnp.moveaxis(code.reshape(FRONT + T_pad, ntiles, 128), 1, 0),
+        jnp.asarray(np.asarray(n, np.int32)).reshape(ntiles, 1, 128),
+        jnp.asarray(np.asarray(m, np.int32)).reshape(ntiles, 1, 128),
+        jnp.asarray(loend.astype(np.int32)).reshape(ntiles, 1, 128),
+    )
+    res = out.reshape(B) + jnp.asarray(n_np.astype(np.int32))
+    covered = (m_np - loend * W) <= SW * W
+    costs = jnp.where(jnp.asarray(covered), res, INF32)
+    # Checkpoint 0 = the all-ones init (never written by the kernel);
+    # lo_0 = 0, so the aligned plane top is word 0 and every row is the
+    # virgin state.
+    ckvp = ckvp.at[:, 0].set(jnp.uint32(_ONES))
+    ckvm = ckvm.at[:, 0].set(jnp.uint32(0))
+    cktv = cktv.at[:, 0].set(0)
+    ckvp = jnp.moveaxis(ckvp, 0, 2).reshape(n_ck, SWP, B)
+    ckvm = jnp.moveaxis(ckvm, 0, 2).reshape(n_ck, SWP, B)
+    cktv = jnp.moveaxis(cktv[:, :, 0, :], 0, 1).reshape(n_ck, B)
+    return costs, ckvp, ckvm, cktv

@@ -80,7 +80,9 @@ class BatchAligner:
 
     def _cb(self, sw: int, n_max: int) -> int:
         base = self.ck_col_block if self.ck_col_block else max(1024, sw)
-        return min(max(base, sw), max(n_max, 1))
+        # sw+8: the striped ck kernel's 8-aligned capture windows need
+        # CB >= SW + 8 (the other ck kernels accept any CB >= SW).
+        return min(max(base, sw + 8), max(n_max, 1))
 
     def cost(self, pairs) -> np.ndarray:
         costs, _ = self.cost_with_stats(pairs)
@@ -675,10 +677,11 @@ class BatchAligner:
                     sw = min(-(-sw // 8) * 8, S)
                 ndev = 1 if self.mesh is None else self.mesh.devices.size
                 pp = _select_pp(a0.shape[1] // ndev, sw, max_pp=1024)
-                if pp < 128:
-                    # Band too tall for the ck kernel's VMEM model (very
-                    # long pairs at the full-height clamp): finish the
-                    # remaining pairs on the cost ladder + trace fallback.
+                if pp < 128 and not self._striped_ck_ok(sw, a0.shape[1]):
+                    # Band too tall for every ck kernel (sliding VMEM
+                    # model fails and the striped kernel can't serve):
+                    # finish the remaining pairs on the cost ladder +
+                    # trace fallback.
                     self._flush_traces(trace_jobs, pairs, results)
                     sub = np.full(len(pairs), -1, dtype=np.int64)
                     self._run_bucket(pairs, pending, sub, stats)
@@ -757,12 +760,27 @@ class BatchAligner:
             if flush_here:
                 self._flush_traces(trace_jobs, pairs, results)
 
+    def _striped_ck_ok(self, sw: int, B: int) -> bool:
+        """Can the striped ck kernel (HBM-resident state, no VMEM band
+        ceiling) serve this geometry?"""
+        import jax
+
+        return (
+            self.mesh is None
+            and (jax.default_backend() == "tpu" or self.pallas_interpret)
+            and sw % 8 == 0
+            and B % 128 == 0
+        )
+
     def _ck_kernel(self, a0, a1, pb0, pb1, n, m, sw: int, CB: int, pp: int):
         """Checkpointing-kernel dispatch: single device, or shard_map over
         the mesh's batch axis (every shard runs the Pallas ck kernel; the
         per-pair traces are host work that parallelizes across hosts).
         Big shared bands route to the pinned checkpoint kernel (same
-        contract, ~2.3x the sliding kernel's big-band throughput)."""
+        contract, ~2.3x the sliding kernel's big-band throughput); bands
+        beyond the pinned VMEM ceiling (or too tall for the sliding VMEM
+        model) route to the striped ck kernel (HBM boundary carries, no
+        ceiling — 8-aligned-top checkpoint contract)."""
         import jax
 
         global LAST_KERNEL
@@ -784,7 +802,18 @@ class BatchAligner:
                     LAST_KERNEL = "pinned-ck"
                     return out
                 except (ValueError, jax.errors.JaxRuntimeError):
-                    pass  # residency over VMEM; sliding below
+                    pass  # residency over VMEM; striped/sliding below
+            if (pp < 128 or sw > PINNED_MAX_SW) and self._striped_ck_ok(
+                sw, a0.shape[1]
+            ):
+                from ..ops.striped import striped_ck_tpu
+
+                LAST_KERNEL = "striped-ck"
+                return striped_ck_tpu(
+                    a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
+                    interpret=self.pallas_interpret,
+                )
+            assert pp >= 128, "no ck kernel can serve this geometry"
             from ..ops.pallas_banded import banded_ck_tpu
 
             LAST_KERNEL = "pallas-ck"
@@ -869,7 +898,9 @@ class BatchAligner:
             sw = min(-(-sw // 8) * 8, S)
         shift = banded.shift_at_array(n_max, S, sw)
         pp = _select_pp(B, sw, max_pp=1024)
-        if (jax.default_backend() == "tpu" or self.pallas_interpret) and pp >= 128:
+        if (jax.default_backend() == "tpu" or self.pallas_interpret) and (
+            pp >= 128 or self._striped_ck_ok(sw, B)
+        ):
             # Checkpoint path: O(n/CB) readback; native C++ DT-bursts (or
             # recomputes stripes) in between (`trace.rs:231-416,71-125`).
             # Same dispatch as the combined ladder (pinned-ck for big

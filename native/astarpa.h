@@ -44,6 +44,16 @@ int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b, int m, int S,
                     const int32_t* ck_tv, int n_ck, const int32_t* shift_at,
                     int SW, int col_block, int use_dt, char** cigar_out);
 
+/* Same, with an explicit checkpoint-plane row count.  ck_rows == SW is the
+ * classic contract; ck_rows > SW is the striped kernel's 8-aligned-top
+ * contract (plane rows cover words [lo&~7, lo&~7 + ck_rows); the true
+ * SW-word window starts at row lo&7). */
+int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b, int m,
+                         int S, const uint32_t* ck_vp, const uint32_t* ck_vm,
+                         const int32_t* ck_tv, int n_ck,
+                         const int32_t* shift_at, int SW, int col_block,
+                         int use_dt, int ck_rows, char** cigar_out);
+
 /* Traceback through stored banded-DP window planes for one pair (see
  * astarpa_tpu/ops/banded.py::banded_fill).  vp/vm are (n * SW) uint32 words
  * row-major; lo is the per-column window top word index.  Returns the

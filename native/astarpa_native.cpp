@@ -1464,11 +1464,13 @@ struct BandedRecompute {
 // matches the checkpoint exactly; only when a burst exceeds its g budget
 // does the O(CB*SW) stripe recompute fallback run (`trace.rs:71-125` role).
 // Returns the banded cost and a malloc'd CIGAR, or -1.
-extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
-                               int m, int S, const uint32_t* ck_vp,
-                               const uint32_t* ck_vm, const int32_t* ck_tv,
-                               int n_ck_dev, const int32_t* shift_at, int SW,
-                               int CB, int use_dt, char** cigar_out) {
+extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
+                                    int m, int S, const uint32_t* ck_vp,
+                                    const uint32_t* ck_vm,
+                                    const int32_t* ck_tv, int n_ck_dev,
+                                    const int32_t* shift_at, int SW, int CB,
+                                    int use_dt, int ck_rows,
+                                    char** cigar_out) {
   BandedRecompute rc;
   rc.init(a, n, b, m, S, SW, shift_at);
 
@@ -1488,6 +1490,16 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
       tv_ck[k] = ck_tv[k];
     }
   }
+
+  // Checkpoint plane layout: ck_rows rows per checkpoint.  ck_rows == SW is
+  // the classic contract (row 0 = the window top lo_ck[k]); ck_rows > SW is
+  // the striped kernel's 8-ALIGNED-TOP contract — plane rows cover words
+  // [lo&~7, lo&~7 + ck_rows), so the true SW-word window starts at row lo&7
+  // (the <=7 pad rows above/below hold garbage and are never read).
+  auto ck_off = [&](i32 k) -> size_t {
+    size_t pad = ck_rows > SW ? (size_t)(lo_ck[k] & 7) : 0;
+    return (size_t)k * ck_rows + pad;
+  };
 
   // Stripe cache: planes, lo, top_val for columns (k*CB, (k+1)*CB].
   // Two slots: at a block-boundary column the traceback's dval calls
@@ -1515,8 +1527,8 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
     if (k == 0) {
       for (i32 w = 0; w < SW; w++) s.svp[w] = 0xFFFFFFFFu;
     } else {
-      memcpy(s.svp.data(), ck_vp + (size_t)k * SW, SW * 4);
-      memcpy(s.svm.data(), ck_vm + (size_t)k * SW, SW * 4);
+      memcpy(s.svp.data(), ck_vp + ck_off(k), SW * 4);
+      memcpy(s.svm.data(), ck_vm + ck_off(k), SW * 4);
     }
     s.slo[0] = lo_ck[k];
     s.stv[0] = tv_ck[k];
@@ -1541,8 +1553,8 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
     i32 k = col / CB;
     // Checkpoint columns read the device planes directly — no recompute.
     if (col % CB == 0 && k < n_ck) {
-      *vp = ck_vp + (size_t)k * SW;
-      *vm = ck_vm + (size_t)k * SW;
+      *vp = ck_vp + ck_off(k);
+      *vm = ck_vm + ck_off(k);
       *lo = lo_ck[k];
       *tv = tv_ck[k];
       return;
@@ -1785,6 +1797,16 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
     memcpy(*cigar_out, cb.s.c_str(), cb.s.size() + 1);
   }
   return total;
+}
+
+// Classic-contract entry (ck_rows == SW; kept for ABI stability).
+extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
+                               int m, int S, const uint32_t* ck_vp,
+                               const uint32_t* ck_vm, const int32_t* ck_tv,
+                               int n_ck_dev, const int32_t* shift_at, int SW,
+                               int CB, int use_dt, char** cigar_out) {
+  return trace_banded_ck_rows(a, n, b, m, S, ck_vp, ck_vm, ck_tv, n_ck_dev,
+                              shift_at, SW, CB, use_dt, SW, cigar_out);
 }
 
 // Traceback through stored banded-DP window planes (one pair).
