@@ -217,7 +217,15 @@ class BatchAligner:
 
     def _resolve_domain_mode(self, pairs, idxs, want_cigars: bool) -> str | None:
         """Returns "gap"/"gcsh" when the bucket should use the per-pair
-        domain ladder, else None (plain shared ladder)."""
+        domain ladder, else None (plain shared ladder).
+
+        "auto" policy: per-pair schedules run on kernels ~1.2-3.4x slower
+        per cell than the shared bucket kernel, so they must SAVE at least
+        that many cells to win.  gcsh saves via hull thinning (2-5x at
+        e>=10%) — worth the host build only on >=8-core hosts.  gap saves
+        only the bucket skew terms (per-pair |m-n| + diagonal spread), so
+        a UNIFORM bucket gains nothing: auto demotes gap to the plain
+        shared ladder unless the skew terms rival the expected band."""
         if self.domain_mode == "off":
             return None
         big = max(len(pairs[i][0]) for i in idxs) >= self.domain_min_bp
@@ -234,6 +242,18 @@ class BatchAligner:
                 if native.available() and (os.cpu_count() or 1) >= 8
                 else "gap"
             )
+            if mode == "gap":
+                # Bucket skew terms (what per-pair gap bands save) vs a
+                # ~6% divergence prior (what any band must cover anyway).
+                ns = np.array([len(pairs[i][0]) for i in idxs], np.int64)
+                ms = np.array([len(pairs[i][1]) for i in idxs], np.int64)
+                n_max = max(int(ns.max()), 1)
+                m_max = int(ms.max())
+                g = np.abs(ms - ns)
+                dev = np.abs(m_max * ns // n_max - ms)
+                skew = int((g + 2 * dev).max())
+                if skew < (n_max // 16) * 3 // 2:
+                    return None
         if mode == "gcsh":
             from .. import native
 

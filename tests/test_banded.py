@@ -94,6 +94,30 @@ def test_batch_aligner_ladder_clamps_to_full_height():
     assert list(costs) == [oracle.levenshtein(a, bytes(b))]
 
 
+def test_domain_auto_policy(monkeypatch):
+    """"auto" engages per-pair domain modes only where they pay: gap is
+    demoted to the plain shared ladder for UNIFORM buckets (per-pair
+    kernels are slower per cell and gap only saves the bucket skew
+    terms), kept for skewed buckets; gcsh needs >=8 host cores for the
+    builds; explicit modes are never demoted."""
+    import os
+
+    from astarpa_tpu import native
+
+    ba = BatchAligner(domain_mode="auto", domain_min_bp=1000)
+    uni = [(bytes(2000), bytes(2000)) for _ in range(4)]
+    skew = [(bytes(2000), bytes(1000)) for _ in range(4)]
+    idx = list(range(4))
+    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    assert ba._resolve_domain_mode(uni, idx, want_cigars=False) is None
+    assert ba._resolve_domain_mode(skew, idx, want_cigars=False) == "gap"
+    ba2 = BatchAligner(domain_mode="gap", domain_min_bp=1000)
+    assert ba2._resolve_domain_mode(uni, idx, want_cigars=False) == "gap"
+    if native.available():
+        monkeypatch.setattr(os, "cpu_count", lambda: 64)
+        assert ba._resolve_domain_mode(uni, idx, want_cigars=False) == "gcsh"
+
+
 def test_batch_aligner_mesh():
     """Sharded over an 8-device CPU mesh (the multi-host recipe)."""
     import jax
