@@ -73,7 +73,7 @@ def _myers_word(eqw, vpw, vmw, hp, hm):
 
 
 def _columns(r, *, SW: int, CB: int, emit: int, per_pair: bool, win_any: bool,
-             Q: int = 1):
+             Q: int = 1, can_shift: bool = True):
     """The shared column loop over one grid block.
 
     ``r`` is a namespace dict of refs; which keys exist depends on the
@@ -205,7 +205,10 @@ def _columns(r, *, SW: int, CB: int, emit: int, per_pair: bool, win_any: bool,
         # --- window slide (shared schedule only: real control flow on the
         # scalar-prefetched bit — Mosaic cannot select whole vectors on a
         # scalar predicate, and the branch skips all work ~31/32 columns).
-        if not per_pair:
+        # can_shift=False (SW >= S: the window already covers the profile,
+        # the schedule has no shifts) skips TRACING the branch — at SW=1
+        # its ref slices would be statically out of bounds.
+        if not per_pair and can_shift:
             @pl.when((r["shift"][i >> 5] >> (i & 31)) & 1 > 0)
             def _shift_shared():
                 r["top_val"][:] = (
@@ -400,7 +403,7 @@ def _columns(r, *, SW: int, CB: int, emit: int, per_pair: bool, win_any: bool,
 
 def _kernel_shared(shift_ref, lo_block_ref,
                    a0, a1, wn0, wn1, sb0, sb1, n, m,
-                   *rest, SW, CB, emit, win_any):
+                   *rest, SW, CB, emit, win_any, can_shift=True):
     names = {"result": 0}
     if emit == EMIT_FILL:
         names = {"result": 0, "vpall": 1, "vmall": 2}
@@ -421,7 +424,8 @@ def _kernel_shared(shift_ref, lo_block_ref,
         r["dma"] = scratch[8]
     for nm, idx in names.items():
         r[nm] = outs[idx]
-    _columns(r, SW=SW, CB=CB, emit=emit, per_pair=False, win_any=win_any)
+    _columns(r, SW=SW, CB=CB, emit=emit, per_pair=False, win_any=win_any,
+             can_shift=can_shift)
 
 
 def _kernel_perpair(a0, a1, wn0, wn1, smf, ent0, ent1, n, m,
@@ -662,7 +666,8 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
         call_args = [a0t, a1t, wn0t, wn1t] + inputs + [nt, mt]
     else:
         kernel = functools.partial(
-            _kernel_shared, SW=SW, CB=CB, emit=emit, win_any=win_any
+            _kernel_shared, SW=SW, CB=CB, emit=emit, win_any=win_any,
+            can_shift=SW < S
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

@@ -7,7 +7,7 @@ shrinks the failing input (halving from both ends, dropping chars) and
 prints a minimal reproducer.
 
 Usage:
-    python scripts/fuzz.py [--aligner astarpa|astarpa2-simple|astarpa2-full|native] [--iters N]
+    python scripts/fuzz.py [--aligner astarpa|astarpa2-simple|astarpa2-full|native|batch] [--iters N]
 """
 
 from __future__ import annotations
@@ -73,6 +73,15 @@ def build(name: str):
         from astarpa_tpu.native import astarpa_native
 
         return lambda a, b: astarpa_native(a, b, r=2, k=8)
+    if name == "batch":
+        # The batch runtime's full CIGAR path (certification ladder, ck
+        # kernel in interpret mode off-TPU, staged readback, native
+        # traces) — one pair at a time so shrinking stays meaningful.
+        from astarpa_tpu.parallel.runner import BatchAligner
+
+        ba = BatchAligner(band_words=2, lane_multiple=128,
+                          pallas_interpret=True, domain_mode="off")
+        return lambda a, b: ba.align([(a, b)])[0]
     from astarpa_tpu.aligners.astarpa2 import AstarPa2Params
 
     params = {
