@@ -381,15 +381,19 @@ def _columns(r, *, SW: int, CB: int, emit: int, per_pair: bool, win_any: bool,
 
     if per_pair:
         assert CB % Q == 0
+        import os as _os
 
-        def col_pp(t, carry):
-            @pl.when(t % Q == 0)
-            def _maybe_shift():
-                shift_group(t // Q)
+        if _os.environ.get("ASTARPA_EXP_NOSHIFT"):  # timing bisection only
+            jax.lax.fori_loop(0, CB, col, 0)
+        else:
+            def col_pp(t, carry):
+                @pl.when(t % Q == 0)
+                def _maybe_shift():
+                    shift_group(t // Q)
 
-            return col(t, carry)
+                return col(t, carry)
 
-        jax.lax.fori_loop(0, CB, col_pp, 0)
+            jax.lax.fori_loop(0, CB, col_pp, 0)
     else:
         jax.lax.fori_loop(0, CB, col, 0)
 
@@ -543,8 +547,11 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
         smf = sched[::Q]  # (n_pad//Q, B) 0/1 group shift masks
         # Entering word planes: the word sliding in if pair p shifts at
         # column i is lo_p(i) + SW - 1 (post-shift top + window height - 1).
-        lo_cum = jnp.cumsum(sched.astype(jnp.int32), axis=0)
-        ent_idx = jnp.minimum(lo_cum[::Q] + (SW - 1), S - 1)
+        # Q-quantized schedules shift only AT group boundaries (the kernel
+        # reads smf alone), so lo at the boundaries is the cumsum of smf —
+        # Q x less scan traffic than the per-column cumsum.
+        lo_grp = jnp.cumsum(smf.astype(jnp.int32), axis=0)
+        ent_idx = jnp.minimum(lo_grp + (SW - 1), S - 1)
         ent0 = jnp.take_along_axis(jnp.asarray(pb0), ent_idx, axis=0)
         ent1 = jnp.take_along_axis(jnp.asarray(pb1), ent_idx, axis=0)
         inputs += [
