@@ -509,7 +509,7 @@ def _pinned_shared_call(RW, TB, D, SW, ntiles, n_tb, interpret):
 
 def pinned_cost_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int, time_block: int = 1024,
-    interpret: bool = False,
+    interpret: bool = False, static_windows: bool = False,
 ):
     """Big-band banded edit distances, pinned-word staggered layout.
 
@@ -518,6 +518,12 @@ def pinned_cost_tpu(
     bottom (a superset of the SW band), so results are <= the sliding
     kernel's and the same `band_threshold` certificate applies.
     B must be a multiple of 128; one program handles 128 pairs.
+
+    static_windows=True makes the call TRACED-SAFE (usable inside
+    shard_map / jit with traced n, m): the scalar capture window becomes
+    the full time range instead of the value-derived union — a pure
+    work-skipping hint; the in-kernel per-pair masks are exact either
+    way (~15% more step work).
     """
     n_max, B = a0.shape
     S = pb0.shape[0]
@@ -545,12 +551,22 @@ def pinned_cost_tpu(
 
     # Per-pair capture windows t in [n_p - 1 + lo(n_p-1), +SW): gate on
     # the scalar union range (the in-kernel per-pair masks are exact).
-    n_np = np.asarray(n).astype(np.int64)
-    m_np = np.asarray(m).astype(np.int64)
     lo = plan["lo"]
-    loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
-    cap0 = int((n_np - 1 + loend)[n_np > 0].min(initial=0))
-    cap1 = int(min((n_np - 1 + loend + SW)[n_np > 0].max(initial=0), T_pad))
+    n_j = jnp.asarray(n).astype(jnp.int32)
+    m_j = jnp.asarray(m).astype(jnp.int32)
+    loend_j = jnp.take(
+        jnp.asarray(np.asarray(lo, np.int32)),
+        jnp.clip(n_j - 1, 0, n_max - 1),
+    )
+    if static_windows:
+        cap0, cap1 = 0, int(T_pad)
+    else:
+        n_np = np.asarray(n).astype(np.int64)
+        loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
+        cap0 = int((n_np - 1 + loend)[n_np > 0].min(initial=0))
+        cap1 = int(
+            min((n_np - 1 + loend + SW)[n_np > 0].max(initial=0), T_pad)
+        )
     lims = np.array([plan["last_top"], cap0, cap1, 0], np.int32)
 
     # Whole profile planes padded so every [base_k, base_k + RW) window is
@@ -588,14 +604,14 @@ def pinned_cost_tpu(
         jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
         jnp.moveaxis(pb1j.reshape(S_pad, ntiles, 128), 1, 0),
         jnp.moveaxis(code.reshape(C_pad, ntiles, 128), 1, 0),
-        jnp.asarray(np.asarray(n, np.int32)).reshape(ntiles, 1, 128),
-        jnp.asarray(np.asarray(m, np.int32)).reshape(ntiles, 1, 128),
-        jnp.asarray(loend.astype(np.int32)).reshape(ntiles, 1, 128),
+        n_j.reshape(ntiles, 1, 128),
+        m_j.reshape(ntiles, 1, 128),
+        loend_j.reshape(ntiles, 1, 128),
     )
-    res = out.reshape(B) + jnp.asarray(n_np.astype(np.int32))
+    res = out.reshape(B) + n_j
     # The band must still cover row m at each pair's final column.
-    covered = (m_np - loend * W) <= SW * W
-    return jnp.where(jnp.asarray(covered), res, INF32)
+    covered = (m_j - loend_j * W) <= SW * W
+    return jnp.where(covered, res, INF32)
 
 
 # --- per-pair schedules ------------------------------------------------------
@@ -1167,6 +1183,7 @@ def _pinned_ck_call(RW, TB, D, SW, ntiles, n_tb, n_ck, interpret):
 def pinned_ck_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int, col_block: int | None = None,
     time_block: int = 1024, interpret: bool = False,
+    static_windows: bool = False,
 ):
     """Big-band banded cost + per-block window checkpoints on the pinned
     layout (shared bucket schedule).
@@ -1205,12 +1222,22 @@ def pinned_ck_tpu(
             f"pinned residency RW={RW} exceeds VMEM; use the sliding kernel"
         )
 
-    n_np = np.asarray(n).astype(np.int64)
-    m_np = np.asarray(m).astype(np.int64)
     lo = plan["lo"]
-    loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
-    cap0 = int((n_np - 1 + loend)[n_np > 0].min(initial=0))
-    cap1 = int(min((n_np - 1 + loend + SW)[n_np > 0].max(initial=0), T_pad))
+    n_j = jnp.asarray(n).astype(jnp.int32)
+    m_j = jnp.asarray(m).astype(jnp.int32)
+    loend_j = jnp.take(
+        jnp.asarray(np.asarray(lo, np.int32)),
+        jnp.clip(n_j - 1, 0, n_max - 1),
+    )
+    if static_windows:
+        cap0, cap1 = 0, int(T_pad)
+    else:
+        n_np = np.asarray(n).astype(np.int64)
+        loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
+        cap0 = int((n_np - 1 + loend)[n_np > 0].min(initial=0))
+        cap1 = int(
+            min((n_np - 1 + loend + SW)[n_np > 0].max(initial=0), T_pad)
+        )
     lims = np.array([plan["last_top"], cap0, cap1, 0], np.int32)
 
     # Checkpoint-capture start TIMES, indexed by the checkpoint counter:
@@ -1251,13 +1278,13 @@ def pinned_ck_tpu(
         jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
         jnp.moveaxis(pb1j.reshape(S_pad, ntiles, 128), 1, 0),
         jnp.moveaxis(code.reshape(T_pad, ntiles, 128), 1, 0),
-        jnp.asarray(np.asarray(n, np.int32)).reshape(ntiles, 1, 128),
-        jnp.asarray(np.asarray(m, np.int32)).reshape(ntiles, 1, 128),
-        jnp.asarray(loend.astype(np.int32)).reshape(ntiles, 1, 128),
+        n_j.reshape(ntiles, 1, 128),
+        m_j.reshape(ntiles, 1, 128),
+        loend_j.reshape(ntiles, 1, 128),
     )
-    res = out.reshape(B) + jnp.asarray(n_np.astype(np.int32))
-    covered = (m_np - loend * W) <= SW * W
-    costs = jnp.where(jnp.asarray(covered), res, INF32)
+    res = out.reshape(B) + n_j
+    covered = (m_j - loend_j * W) <= SW * W
+    costs = jnp.where(covered, res, INF32)
     # Checkpoint row 0 = the all-ones init (never written by the kernel).
     ckvp = ckvp.at[:, 0].set(jnp.uint32(_ONES))
     ckvm = ckvm.at[:, 0].set(jnp.uint32(0))

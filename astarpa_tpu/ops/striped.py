@@ -567,9 +567,36 @@ def _striped_ck_call(WS, TB, SW, SWP, LIVE8, ntiles, n_stripes, n_tb, T_pad,
     return jax.jit(call)
 
 
+def _stripe_cap_windows(plan, n, m, SW, WS, T_pad, static_windows):
+    """Per-stripe scalar capture windows (work-skipping supersets; the
+    in-kernel per-pair masks are exact).  static_windows=True returns the
+    full active range per stripe — traced-safe (no n/m value reads)."""
+    n_stripes = plan["n_stripes"]
+    cap0 = np.zeros(n_stripes, np.int32)
+    cap1 = np.zeros(n_stripes, np.int32)
+    if static_windows:
+        for s in range(n_stripes):
+            if plan["blk_active"][s].any():
+                cap1[s] = T_pad
+        return cap0, cap1
+    n_np = np.asarray(n).astype(np.int64)
+    lo = plan["lo"]
+    n_max = len(lo)
+    loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
+    for s in range(n_stripes):
+        st = n_np - 1 + np.maximum(loend, s * WS)
+        en = n_np - 1 + np.minimum(loend + SW, (s + 1) * WS)
+        valid = (en > st) & (n_np > 0)
+        if valid.any():
+            cap0[s] = int(st[valid].min())
+            cap1[s] = int(min(en[valid].max(), T_pad))
+    return cap0, cap1
+
+
 def striped_cost_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int, stripe_words: int = 1024,
     time_block: int = 512, interpret: bool = False,
+    static_windows: bool = False,
 ):
     """Banded (or full-height) edit distances with HBM-striped state.
 
@@ -577,7 +604,8 @@ def striped_cost_tpu(
     schedule, results <= the sliding kernel's, `band_threshold`
     certifies — but the band height is unbounded: pass
     ``band_words >= S`` for exact full-height DP.  Costs two
-    (T, B) uint32 HBM carry planes.
+    (T, B) uint32 HBM carry planes.  static_windows=True is the
+    traced-safe mode (see :func:`pinned.pinned_cost_tpu`).
     """
     n_max, B = a0.shape
     S = pb0.shape[0]
@@ -592,21 +620,13 @@ def striped_cost_tpu(
     n_stripes, nw_pad = plan["n_stripes"], plan["nw_pad"]
     lo = plan["lo"]
 
-    n_np = np.asarray(n).astype(np.int64)
-    m_np = np.asarray(m).astype(np.int64)
-    loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
-    # Per-stripe capture window [cap0, cap1): the union over pairs of the
-    # final-column diagonal's crossing of the stripe — a scalar superset
-    # range (in-kernel per-pair masks are exact; extra steps are no-ops).
-    cap0 = np.zeros(n_stripes, np.int32)
-    cap1 = np.zeros(n_stripes, np.int32)
-    for s in range(n_stripes):
-        st = n_np - 1 + np.maximum(loend, s * WS)
-        en = n_np - 1 + np.minimum(loend + SW, (s + 1) * WS)
-        valid = (en > st) & (n_np > 0)
-        if valid.any():
-            cap0[s] = int(st[valid].min())
-            cap1[s] = int(min(en[valid].max(), T_pad))
+    n_j = jnp.asarray(n).astype(jnp.int32)
+    m_j = jnp.asarray(m).astype(jnp.int32)
+    loend_j = jnp.take(
+        jnp.asarray(np.asarray(lo, np.int32)),
+        jnp.clip(n_j - 1, 0, n_max - 1),
+    )
+    cap0, cap1 = _stripe_cap_windows(plan, n, m, SW, WS, T_pad, static_windows)
 
     # Profile planes padded to the stripe grid (clamp-last rows), code
     # plane front-padded so per-block offsets never go negative.
@@ -648,18 +668,19 @@ def striped_cost_tpu(
         jnp.moveaxis(pb0j.reshape(nw_pad, ntiles, 128), 1, 0),
         jnp.moveaxis(pb1j.reshape(nw_pad, ntiles, 128), 1, 0),
         jnp.moveaxis(code.reshape(FRONT + T_pad, ntiles, 128), 1, 0),
-        jnp.asarray(np.asarray(n, np.int32)).reshape(ntiles, 1, 128),
-        jnp.asarray(np.asarray(m, np.int32)).reshape(ntiles, 1, 128),
-        jnp.asarray(loend.astype(np.int32)).reshape(ntiles, 1, 128),
+        n_j.reshape(ntiles, 1, 128),
+        m_j.reshape(ntiles, 1, 128),
+        loend_j.reshape(ntiles, 1, 128),
     )
-    res = out.reshape(B) + jnp.asarray(n_np.astype(np.int32))
-    covered = (m_np - loend * W) <= SW * W
-    return jnp.where(jnp.asarray(covered), res, INF32)
+    res = out.reshape(B) + n_j
+    covered = (m_j - loend_j * W) <= SW * W
+    return jnp.where(covered, res, INF32)
 
 
 def striped_ck_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int, col_block: int | None = None,
     stripe_words: int = 1024, time_block: int = 512, interpret: bool = False,
+    static_windows: bool = False,
 ):
     """Striped banded cost + per-block window checkpoints: big-band (or
     full-height) CIGAR traces with NO VMEM band ceiling.
@@ -697,18 +718,13 @@ def striped_ck_tpu(
     n_tb = plan["n_tb"] + 1
     T_pad = plan["T_pad"] + TB
 
-    n_np = np.asarray(n).astype(np.int64)
-    m_np = np.asarray(m).astype(np.int64)
-    loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
-    cap0 = np.zeros(n_stripes, np.int32)
-    cap1 = np.zeros(n_stripes, np.int32)
-    for s in range(n_stripes):
-        st = n_np - 1 + np.maximum(loend, s * WS)
-        en = n_np - 1 + np.minimum(loend + SW, (s + 1) * WS)
-        valid = (en > st) & (n_np > 0)
-        if valid.any():
-            cap0[s] = int(st[valid].min())
-            cap1[s] = int(min(en[valid].max(), T_pad))
+    n_j = jnp.asarray(n).astype(jnp.int32)
+    m_j = jnp.asarray(m).astype(jnp.int32)
+    loend_j = jnp.take(
+        jnp.asarray(np.asarray(lo, np.int32)),
+        jnp.clip(n_j - 1, 0, n_max - 1),
+    )
+    cap0, cap1 = _stripe_cap_windows(plan, n, m, SW, WS, T_pad, static_windows)
 
     # Checkpoint events: window k (k >= 1) = state after column k*CB with
     # true top w0 = lo[k*CB - 1]; the emitted plane top is w0a = w0 & ~7
@@ -806,13 +822,13 @@ def striped_ck_tpu(
         jnp.moveaxis(pb0j.reshape(nw_pad, ntiles, 128), 1, 0),
         jnp.moveaxis(pb1j.reshape(nw_pad, ntiles, 128), 1, 0),
         jnp.moveaxis(code.reshape(FRONT + T_pad, ntiles, 128), 1, 0),
-        jnp.asarray(np.asarray(n, np.int32)).reshape(ntiles, 1, 128),
-        jnp.asarray(np.asarray(m, np.int32)).reshape(ntiles, 1, 128),
-        jnp.asarray(loend.astype(np.int32)).reshape(ntiles, 1, 128),
+        n_j.reshape(ntiles, 1, 128),
+        m_j.reshape(ntiles, 1, 128),
+        loend_j.reshape(ntiles, 1, 128),
     )
-    res = out.reshape(B) + jnp.asarray(n_np.astype(np.int32))
-    covered = (m_np - loend * W) <= SW * W
-    costs = jnp.where(jnp.asarray(covered), res, INF32)
+    res = out.reshape(B) + n_j
+    covered = (m_j - loend_j * W) <= SW * W
+    costs = jnp.where(covered, res, INF32)
     # Checkpoint 0 = the all-ones init (never written by the kernel);
     # lo_0 = 0, so the aligned plane top is word 0 and every row is the
     # virgin state.

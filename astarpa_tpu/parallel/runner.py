@@ -697,19 +697,26 @@ class BatchAligner:
                     sw = min(-(-sw // 8) * 8, S)
                 ndev = 1 if self.mesh is None else self.mesh.devices.size
                 pp = _select_pp(a0.shape[1] // ndev, sw, max_pp=1024)
-                if pp < 128 and not self._striped_ck_ok(sw, a0.shape[1]):
-                    # Band too tall for every ck kernel (sliding VMEM
-                    # model fails and the striped kernel can't serve):
-                    # finish the remaining pairs on the cost ladder +
-                    # trace fallback.
-                    self._flush_traces(trace_jobs, pairs, results)
-                    sub = np.full(len(pairs), -1, dtype=np.int64)
-                    self._run_bucket(pairs, pending, sub, stats)
-                    self._trace_bucket(pairs, pending, sub, results)
-                    return
                 # DT bursts make long checkpoint intervals cheap, and the
                 # device->host readback shrinks with 1/CB.
                 CB = self._cb(sw, n_max)
+                if pp < 128:
+                    if self.mesh is None:
+                        big_ok = self._striped_ck_ok(sw, a0.shape[1])
+                    else:
+                        big_ok = self._mesh_ck_kind(
+                            sw, n_max, S, a0.shape[1], CB, pp
+                        ) != "sliding"
+                    if not big_ok:
+                        # Band too tall for every ck kernel (sliding VMEM
+                        # model fails and no big-band layout can serve):
+                        # finish the remaining pairs on the cost ladder +
+                        # trace fallback.
+                        self._flush_traces(trace_jobs, pairs, results)
+                        sub = np.full(len(pairs), -1, dtype=np.int64)
+                        self._run_bucket(pairs, pending, sub, stats)
+                        self._trace_bucket(pairs, pending, sub, results)
+                        return
                 got, ckvp, ckvm, cktv = self._ck_kernel(
                     a0, a1, pb0, pb1, n, m, sw, CB, pp
                 )
@@ -782,15 +789,45 @@ class BatchAligner:
 
     def _striped_ck_ok(self, sw: int, B: int) -> bool:
         """Can the striped ck kernel (HBM-resident state, no VMEM band
-        ceiling) serve this geometry?"""
+        ceiling) serve this geometry — single device or per mesh shard?"""
         import jax
 
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
         return (
-            self.mesh is None
-            and (jax.default_backend() == "tpu" or self.pallas_interpret)
+            (jax.default_backend() == "tpu" or self.pallas_interpret)
             and sw % 8 == 0
-            and B % 128 == 0
+            and B % ndev == 0
+            and (B // ndev) % 128 == 0
         )
+
+    def _mesh_ck_kind(self, sw: int, n_max: int, S: int, B: int, CB: int,
+                      pp: int) -> str:
+        """Big-band layout for the sharded ck dispatch: pinned when the
+        band fits its VMEM residency (checked host-side — inside shard_map
+        a compile-time OOM is not catchable), striped when the sliding
+        VMEM model fails or the band exceeds the pinned ceiling."""
+        import jax
+
+        ndev = self.mesh.devices.size
+        if not (
+            (jax.default_backend() == "tpu" or self.pallas_interpret)
+            and B % ndev == 0
+            and (B // ndev) % 128 == 0
+        ):
+            return "sliding"
+        if (
+            PINNED_ENABLED
+            and PINNED_MIN_SW <= sw <= PINNED_MAX_SW
+            and CB >= sw
+        ):
+            from ..ops.pinned import _fits_shared, _plan
+
+            for TB in (1024, 512, 256):
+                if _fits_shared(_plan(n_max, S, sw, TB), TB):
+                    return "pinned"
+        if (pp < 128 or sw > PINNED_MAX_SW) and sw % 8 == 0:
+            return "striped"
+        return "sliding"
 
     def _ck_kernel(self, a0, a1, pb0, pb1, n, m, sw: int, CB: int, pp: int):
         """Checkpointing-kernel dispatch: single device, or shard_map over
@@ -841,9 +878,11 @@ class BatchAligner:
                 a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
                 pairs_per_program=pp, interpret=self.pallas_interpret,
             )
-        return _sharded_ck(self.mesh, sw, CB, pp, self.pallas_interpret)(
-            a0, a1, pb0, pb1, n, m
+        kind = self._mesh_ck_kind(
+            sw, a0.shape[0], pb0.shape[0], a0.shape[1], CB, pp
         )
+        return _sharded_ck(self.mesh, sw, CB, pp, self.pallas_interpret,
+                           kind)(a0, a1, pb0, pb1, n, m)
 
     def _flush_traces(self, trace_jobs: list, pairs, results) -> None:
         """Drain deferred checkpoint traces.  Every job's chunk already has
@@ -1083,11 +1122,14 @@ def _chunk_of(chunks, p: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_ck(mesh, sw: int, CB: int, pp: int, interpret: bool):
+def _sharded_ck(mesh, sw: int, CB: int, pp: int, interpret: bool,
+                kind: str = "sliding"):
     """shard_map'd checkpointing kernel over the mesh's batch axis: every
     shard runs the Pallas ck kernel on its own pairs; checkpoints come back
     sharded along the pair axis (`astarpa2/src/blocks/trace.rs:16-135`
-    ridden by the mesh instead of bypassed)."""
+    ridden by the mesh instead of bypassed).  ``kind`` picks the big-band
+    layout per shard: "pinned"/"striped" run in traced-safe
+    static-window mode (n/m are traced inside shard_map)."""
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -1095,6 +1137,22 @@ def _sharded_ck(mesh, sw: int, CB: int, pp: int, interpret: bool):
 
     def fn(a0, a1, pb0, pb1, n, m):
         global LAST_KERNEL
+        if kind == "pinned":
+            from ..ops.pinned import pinned_ck_tpu
+
+            LAST_KERNEL = "pinned-ck-sharded"
+            return pinned_ck_tpu(
+                a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
+                interpret=interpret, static_windows=True,
+            )
+        if kind == "striped":
+            from ..ops.striped import striped_ck_tpu
+
+            LAST_KERNEL = "striped-ck-sharded"
+            return striped_ck_tpu(
+                a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
+                interpret=interpret, static_windows=True,
+            )
         LAST_KERNEL = "pallas-ck-sharded"
         return banded_ck_tpu(
             a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
@@ -1213,12 +1271,17 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
         and not interpret
         and PINNED_MIN_SW <= sw <= PINNED_MAX_SW
         and B % 128 == 0
-        and not isinstance(a0, jax.core.Tracer)
     ):
         from ..ops.pinned import pinned_cost_tpu
 
+        # Traced inputs (inside shard_map / an outer jit) use static
+        # capture windows — the traced-safe mode; big-band cost then
+        # rides the pinned kernel on every mesh shard too.
         try:
-            out = pinned_cost_tpu(a0, a1, pb0, pb1, n, m, band_words=sw)
+            out = pinned_cost_tpu(
+                a0, a1, pb0, pb1, n, m, band_words=sw,
+                static_windows=isinstance(a0, jax.core.Tracer),
+            )
             LAST_KERNEL = "pinned"
             return out
         except (ValueError, jax.errors.JaxRuntimeError):
@@ -1229,14 +1292,16 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
         and not interpret
         and sw > PINNED_MAX_SW
         and B % 128 == 0
-        and not isinstance(a0, jax.core.Tracer)
     ):
         # Bands beyond the pinned VMEM ceiling (including the full-height
         # ladder clamp): HBM-striped state, no band ceiling.
         from ..ops.striped import striped_cost_tpu
 
         try:
-            out = striped_cost_tpu(a0, a1, pb0, pb1, n, m, band_words=sw)
+            out = striped_cost_tpu(
+                a0, a1, pb0, pb1, n, m, band_words=sw,
+                static_windows=isinstance(a0, jax.core.Tracer),
+            )
             LAST_KERNEL = "striped"
             return out
         except (ValueError, jax.errors.JaxRuntimeError):

@@ -94,6 +94,50 @@ def test_batch_aligner_ladder_clamps_to_full_height():
     assert list(costs) == [oracle.levenshtein(a, bytes(b))]
 
 
+def test_batch_aligner_mesh_bigband_ck(monkeypatch):
+    """Big-band CIGARs ride the mesh: the sharded ck dispatch picks the
+    pinned / striped layouts (traced-safe static-window mode) per shard.
+    Thresholds are shrunk so tiny test bands exercise the real routing."""
+    import jax
+    from jax.sharding import Mesh
+
+    from astarpa_tpu.parallel import runner as rmod
+
+    devs = np.array(jax.devices()[:8])
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(devs, ("batch",))
+    pairs = [
+        generate.uniform_seeded(300 + 17 * s, 0.06, 40 + s) for s in range(4)
+    ]
+    for patch, want_kind in (
+        (dict(PINNED_MIN_SW=4, PINNED_MAX_SW=64), "pinned-ck-sharded"),
+        (dict(PINNED_MIN_SW=2, PINNED_MAX_SW=2), "striped-ck-sharded"),
+    ):
+        for k, v in patch.items():
+            monkeypatch.setattr(rmod, k, v)
+        ba = BatchAligner(band_words=8, lane_multiple=128, mesh=mesh,
+                          pallas_interpret=True, domain_mode="off")
+        res = ba.align(pairs)
+        assert rmod.LAST_KERNEL == want_kind
+        for (a, b), (c, cig) in zip(pairs, res):
+            assert c == oracle.levenshtein(a, b)
+            assert cig.verify(a, b) == c
+
+
+def test_align_single_char_pairs_interpret():
+    """Regression (found by scripts/fuzz.py --aligner batch): SW == S == 1
+    pairs crashed the shared Pallas kernel at trace time — the shift
+    branch's ref slices were statically out of bounds even though the
+    schedule has no shifts (fixed by the static can_shift flag)."""
+    ba = BatchAligner(band_words=2, lane_multiple=128, pallas_interpret=True,
+                      domain_mode="off")
+    pairs = [(b"A", b"A"), (b"A", b"C"), (b"AC", b"A")]
+    for (a, b), (c, cig) in zip(pairs, ba.align(pairs)):
+        assert c == oracle.levenshtein(a, b)
+        assert cig.verify(a, b) == c
+
+
 def test_domain_auto_policy(monkeypatch):
     """"auto" engages per-pair domain modes only where they pay: gap is
     demoted to the plain shared ladder for UNIFORM buckets (per-pair

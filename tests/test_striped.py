@@ -90,6 +90,36 @@ def test_striped_ck_matches_sliding_ck():
     assert checked >= 4
 
 
+def test_striped_static_windows_parity():
+    """static_windows=True (the traced-safe mesh mode) is bit-identical:
+    the scalar capture windows are work-skipping hints only."""
+    from astarpa_tpu.ops.pallas_banded import banded_ck_tpu
+    from astarpa_tpu.ops.striped import striped_ck_tpu
+
+    pairs = [
+        generate.uniform_seeded(400 + 31 * s, [0.04, 0.2][s % 2], 5 + s)
+        for s in range(128)
+    ]
+    args, B0 = pack_batch_staggered(pairs, lane_multiple=128)
+    a0, a1, pb0, pb1, n, m = args
+    c_dyn = np.asarray(striped_cost_tpu(
+        a0, a1, pb0, pb1, n, m, band_words=16, stripe_words=16,
+        time_block=64, interpret=True))
+    c_sta = np.asarray(striped_cost_tpu(
+        a0, a1, pb0, pb1, n, m, band_words=16, stripe_words=16,
+        time_block=64, interpret=True, static_windows=True))
+    assert (c_dyn == c_sta).all()
+    dyn = list(map(np.asarray, striped_ck_tpu(
+        a0, a1, pb0, pb1, n, m, band_words=16, col_block=64,
+        stripe_words=16, time_block=64, interpret=True)))
+    sta = list(map(np.asarray, striped_ck_tpu(
+        a0, a1, pb0, pb1, n, m, band_words=16, col_block=64,
+        stripe_words=16, time_block=64, interpret=True,
+        static_windows=True)))
+    for d, s in zip(dyn, sta):
+        assert (d == s).all()
+
+
 def test_striped_ck_native_trace_full_height():
     """Big-band/full-height CIGARs off the striped kernel: the native
     traceback consumes the 8-aligned-top checkpoint planes directly (the
