@@ -128,7 +128,7 @@ def available() -> bool:
 
 def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, ck_tv,
                     shift_at, band_words: int, col_block: int,
-                    use_dt: bool = True):
+                    use_dt: bool = True, known_cost: int = -1):
     """CIGAR from per-block banded checkpoints.
 
     ck_vp/ck_vm: (n_ck, ck_rows) uint32 for this pair — ck_rows ==
@@ -138,7 +138,10 @@ def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, ck_tv,
     ck_tv: (n_ck,) int32 device top_val at the checkpoints; shift_at:
     (>=n,) int32 bucket schedule.  The inter-checkpoint path comes from
     backward DT bursts (use_dt) with a stripe-recompute fallback.
-    Returns (cost, Cigar).
+    known_cost >= 0 skips the target-value recompute (an O(CB*SW) Myers
+    fill of the final stripe) by trusting the caller's certified device
+    cost — the landing checks against the checkpoint planes still verify
+    every burst segment.  Returns (cost, Cigar).
     """
     import numpy as np
 
@@ -152,6 +155,7 @@ def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, ck_tv,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.c_char_p),
         ]
         lib._ck_proto_set = True
@@ -168,6 +172,7 @@ def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, ck_tv,
         vp.shape[0],
         sh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         band_words, col_block, int(use_dt), int(vp.shape[1]),
+        int(known_cost),
         ctypes.byref(cigar_p),
     )
     assert cost >= 0, "checkpointed banded traceback failed"

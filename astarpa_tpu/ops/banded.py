@@ -70,17 +70,26 @@ def shift_schedule(n_max: int, m_max: int, band_words: int) -> tuple[int, int]:
     return lo_max, m_words
 
 
-def shift_at_array(n_max: int, s_words: int, band_words: int) -> np.ndarray:
+def shift_at_array(n_max: int, s_words: int, band_words: int,
+                   diag: tuple[int, int] | None = None) -> np.ndarray:
     """Host-precomputed schedule: shift_at[i] = 1 iff the window slides one
     word down before processing column i.  Shared by the jnp reference and
-    the Pallas kernel so both are bit-identical."""
+    the Pallas kernel so both are bit-identical.
+
+    diag: the TRUE bucket diagonal ``(n_top, m_top)`` the window centers
+    should track; defaults to the padded ``(n_max, s_words*W)``.  Passing
+    the true tops decouples the band certificate from shape padding: a
+    geometry-quantized pack (stable compiled shapes across a stream) then
+    costs zero extra band, because the schedule never descends into the
+    pad rows no pair reaches (`band_threshold`'s dev term measures skew
+    against this same diagonal)."""
     SW = min(band_words, s_words)
     lo_max = max(0, s_words - SW)
     half = (SW * W) // 2
-    m_max = s_words * W
-    n = max(n_max, 1)
+    n_top, m_top = diag if diag is not None else (n_max, s_words * W)
+    n = max(n_top, 1)
     i = np.arange(n_max, dtype=np.int64)
-    center = (2 * i + 1) * m_max // (2 * n)
+    center = (2 * np.minimum(i, n - 1) + 1) * m_top // (2 * n)
     desired = np.clip((center - half) // W, 0, lo_max)
     shift = np.diff(np.concatenate([[0], desired])).astype(np.int32)
     # One shift per column max (guaranteed by bucketing: m_max <= W*n_max).
@@ -90,7 +99,8 @@ def shift_at_array(n_max: int, s_words: int, band_words: int) -> np.ndarray:
     return shift
 
 
-def banded_cost_block(a0, a1, pb0, pb1, n, m, band_words: int):
+def banded_cost_block(a0, a1, pb0, pb1, n, m, band_words: int,
+                      diag: tuple | None = None):
     """Banded edit distances (upper bounds) for one shape bucket.
 
     Args:
@@ -108,7 +118,7 @@ def banded_cost_block(a0, a1, pb0, pb1, n, m, band_words: int):
     SW = min(band_words, S)
     n = n.astype(jnp.int32)
     m = m.astype(jnp.int32)
-    shift_at = jnp.asarray(shift_at_array(n_max, S, SW))
+    shift_at = jnp.asarray(shift_at_array(n_max, S, SW, diag))
 
     def body(i, state):
         vp, vm, win0, win1, top_val, lo, result, top_rows = state
@@ -185,10 +195,11 @@ def banded_cost_block(a0, a1, pb0, pb1, n, m, band_words: int):
     return state[6]
 
 
-banded_cost = jax.jit(banded_cost_block, static_argnames=("band_words",))
+banded_cost = jax.jit(banded_cost_block, static_argnames=("band_words", "diag"))
 
 
-def banded_fill_block(a0, a1, pb0, pb1, n, m, band_words: int):
+def banded_fill_block(a0, a1, pb0, pb1, n, m, band_words: int,
+                      diag: tuple | None = None):
     """Like :func:`banded_cost_block` but stores the window planes after
     every column, for traceback (`simd::fill` equivalent on the band).
 
@@ -202,7 +213,7 @@ def banded_fill_block(a0, a1, pb0, pb1, n, m, band_words: int):
     SW = min(band_words, S)
     n = n.astype(jnp.int32)
     m = m.astype(jnp.int32)
-    shift_at = jnp.asarray(shift_at_array(n_max, S, SW))
+    shift_at = jnp.asarray(shift_at_array(n_max, S, SW, diag))
 
     def body(carry, xs):
         vp, vm, win0, win1, top_val, lo, result, top_rows = carry
@@ -274,7 +285,7 @@ def banded_fill_block(a0, a1, pb0, pb1, n, m, band_words: int):
     return carry[6], vp_cols, vm_cols
 
 
-banded_fill = jax.jit(banded_fill_block, static_argnames=("band_words",))
+banded_fill = jax.jit(banded_fill_block, static_argnames=("band_words", "diag"))
 
 
 #: Per-pair schedules only shift at multiples of this column quantum: the

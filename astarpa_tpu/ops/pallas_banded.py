@@ -497,7 +497,8 @@ def _default_col_block(SW: int, PP: int, n_max: int, emit: int,
 
 
 def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
-                 pairs_per_program, interpret, emit, schedule, Q=32):
+                 pairs_per_program, interpret, emit, schedule, Q=32,
+                 diag=None):
     n_max, B = a0.shape
     S = pb0.shape[0]
     SW = min(band_words, S)
@@ -565,7 +566,7 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
             pl.BlockSpec((CB // Q, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
         ]
     else:
-        shift = shift_at_array(n_max, S, SW)
+        shift = shift_at_array(n_max, S, SW, diag)
         shift = np.concatenate(
             [shift, np.zeros(n_pad - n_max, np.int32)]
         ).astype(np.int32)
@@ -577,7 +578,9 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
         shifts_per_block = (
             lo[np.minimum((np.arange(n_blocks) + 1) * CB, n_pad)] - lo_block
         )
-        slab_words = int(shifts_per_block.max(initial=0)) + 1
+        # Rounded up so a stream of buckets with slightly different true
+        # diagonals (diag) shares one compiled geometry.
+        slab_words = -(-(int(shifts_per_block.max(initial=0)) + 1) // 8) * 8
         gather_idx = np.minimum(
             (lo_block + SW)[:, None] + np.arange(slab_words)[None, :], S - 1
         )
@@ -725,12 +728,13 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
 @functools.partial(
     jax.jit,
     static_argnames=("band_words", "col_block", "pairs_per_program", "interpret",
-                     "schedule_quantum"),
+                     "schedule_quantum", "diag"),
 )
 def banded_cost_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int,
     col_block: int | None = None, pairs_per_program: int = 4096,
     interpret: bool = False, schedule=None, schedule_quantum: int = 32,
+    diag=None,
 ):
     """Banded batched edit-distance upper bounds (Pallas kernel).
 
@@ -745,36 +749,36 @@ def banded_cost_tpu(
     """
     return _banded_call(
         a0, a1, pb0, pb1, n, m, band_words, col_block, pairs_per_program,
-        interpret, EMIT_COST, schedule, schedule_quantum,
+        interpret, EMIT_COST, schedule, schedule_quantum, diag,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("band_words", "col_block", "pairs_per_program", "interpret",
-                     "schedule_quantum"),
+                     "schedule_quantum", "diag"),
 )
 def banded_fill_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int,
     col_block: int = 16, pairs_per_program: int = 1024, interpret: bool = False,
-    schedule=None, schedule_quantum: int = 32,
+    schedule=None, schedule_quantum: int = 32, diag=None,
 ):
     """Pallas fill: (costs, vp_cols, vm_cols) like banded.banded_fill."""
     return _banded_call(
         a0, a1, pb0, pb1, n, m, band_words, col_block, pairs_per_program,
-        interpret, EMIT_FILL, schedule, schedule_quantum,
+        interpret, EMIT_FILL, schedule, schedule_quantum, diag,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("band_words", "col_block", "pairs_per_program", "interpret",
-                     "schedule_quantum"),
+                     "schedule_quantum", "diag"),
 )
 def banded_ck_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int,
     col_block: int = 1024, pairs_per_program: int = 1024, interpret: bool = False,
-    schedule=None, schedule_quantum: int = 32,
+    schedule=None, schedule_quantum: int = 32, diag=None,
 ):
     """Banded cost + per-block window checkpoints (Pallas kernel).
 
@@ -785,5 +789,5 @@ def banded_ck_tpu(
     """
     return _banded_call(
         a0, a1, pb0, pb1, n, m, band_words, col_block, pairs_per_program,
-        interpret, EMIT_CK, schedule, schedule_quantum,
+        interpret, EMIT_CK, schedule, schedule_quantum, diag,
     )

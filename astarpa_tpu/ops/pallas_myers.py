@@ -153,12 +153,21 @@ def nw_cost(a0, a1, pb0, pb1, n, m, lanes_per_program: int = 512):
     return n.astype(jnp.int32) + _value_up_to(vp, vm, m.astype(jnp.int32))
 
 
-def pack_batch_staggered(pairs, lane_multiple: int = 512):
+def pack_batch_staggered(pairs, lane_multiple: int = 512,
+                         shape_quantum: int | None = None):
     """Pack byte pairs into the (n_max, B)/(S, B) layout of this kernel.
 
     Fully vectorized over the batch (one 2-D codes matrix per side; the
     per-pair python work is just the byte copy) — packing 4096 x 10kbp
     pairs takes ~100ms, not seconds.
+
+    shape_quantum: round the padded column count UP to this multiple and
+    set the profile height from a 1/256-quantized bucket-diagonal ratio,
+    so a stream of same-sized batches reuses one compiled kernel geometry
+    — with exact shapes, every batch's slightly different max-m forced a
+    multi-second Mosaic recompile per batch.  The shared band schedule's
+    slope is S*W/n_max, so preserving the RATIO (not just rounding S)
+    keeps the band_threshold skew penalty bounded by ~n/256 extra rows.
     """
     from . import bitpack
 
@@ -168,6 +177,11 @@ def pack_batch_staggered(pairs, lane_multiple: int = 512):
     ms = np.array([len(b) for _, b in pairs] + [1] * (B - B0), dtype=np.int32)
     n_max = max(8, int(ns.max()))
     S = max(1, bitpack.n_words(int(ms.max())))
+    if shape_quantum:
+        n_q = -(-n_max // shape_quantum) * shape_quantum
+        ratio = -(-(S * bitpack.W * 256) // n_max)  # ceil, 1/256ths
+        n_max = n_q
+        S = max(S, -(-(n_q * ratio) // (256 * bitpack.W)))
 
     acodes = np.zeros((B, n_max), dtype=np.uint8)
     bcodes = np.full((B, S * bitpack.W), 0xFF, dtype=np.uint8)  # pad char

@@ -116,13 +116,13 @@ def _fits_shared(plan, tb: int) -> bool:
     return 10 * plan["RW"] * 128 * 4 + 4 * tb * 128 * 4 <= 27 * 2 ** 19
 
 
-def _plan(n_max: int, S: int, SW: int, TB: int):
+def _plan(n_max: int, S: int, SW: int, TB: int, diag=None):
     """Host-side stagger plan for the bucket schedule.
 
     Returns a dict of event bit masks over staggered time, per-block word
     bases/roll flags, and the residency RW.
     """
-    shift = shift_at_array(n_max, S, SW)
+    shift = shift_at_array(n_max, S, SW, diag)
     lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int64)  # lo[c] pre-col? ->
     lo = lo[1:]  # lo[c] = top word DURING column c (post-shift), len n_max
     n_words_live = int(lo[-1]) + SW  # words 0 .. n_words_live-1 ever in band
@@ -509,7 +509,7 @@ def _pinned_shared_call(RW, TB, D, SW, ntiles, n_tb, interpret):
 
 def pinned_cost_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int, time_block: int = 1024,
-    interpret: bool = False, static_windows: bool = False,
+    interpret: bool = False, static_windows: bool = False, diag=None,
 ):
     """Big-band banded edit distances, pinned-word staggered layout.
 
@@ -539,7 +539,7 @@ def pinned_cost_tpu(
     for TB_try in (time_block, 512, 256):
         if TB_try > time_block:
             continue
-        plan = _plan(n_max, S, SW, TB_try)
+        plan = _plan(n_max, S, SW, TB_try, diag)
         if _fits_shared(plan, TB_try):
             break
     RW, TB, D, n_tb, T_pad = plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
@@ -1183,7 +1183,7 @@ def _pinned_ck_call(RW, TB, D, SW, ntiles, n_tb, n_ck, interpret):
 def pinned_ck_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int, col_block: int | None = None,
     time_block: int = 1024, interpret: bool = False,
-    static_windows: bool = False,
+    static_windows: bool = False, diag=None,
 ):
     """Big-band banded cost + per-block window checkpoints on the pinned
     layout (shared bucket schedule).
@@ -1210,7 +1210,7 @@ def pinned_ck_tpu(
     for TB_try in (time_block, 512, 256):
         if TB_try > time_block:
             continue
-        plan = _plan(n_max, S, SW, TB_try)
+        plan = _plan(n_max, S, SW, TB_try, diag)
         if _fits_shared(plan, TB_try):
             break
     RW, TB, D, n_tb, T_pad = (

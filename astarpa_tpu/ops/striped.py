@@ -50,7 +50,7 @@ INF32 = 1 << 30
 _NEVER = np.int32(2 ** 30)
 
 
-def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int):
+def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int, diag=None):
     """Host-side plan.  SMEM is 1MB: per-(stripe, t) bit planes would be
     O(n_stripes * T) and blow it at long reads, so events ship as
     per-WORD times (enter_t/absorb_t, read at the word counters — SMEM
@@ -62,7 +62,7 @@ def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int):
       capture window [cap0, cap1): a superset range per stripe (the
         in-kernel per-pair masks are exact; extra steps are no-ops),
       block activity flags (n_stripes, n_tb + 1)."""
-    shift = shift_at_array(n_max, S, SW)
+    shift = shift_at_array(n_max, S, SW, diag)
     lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int64)[1:]
     n_words_live = int(lo[-1]) + SW
     n_stripes = -(-n_words_live // WS)
@@ -596,7 +596,7 @@ def _stripe_cap_windows(plan, n, m, SW, WS, T_pad, static_windows):
 def striped_cost_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int, stripe_words: int = 1024,
     time_block: int = 512, interpret: bool = False,
-    static_windows: bool = False,
+    static_windows: bool = False, diag=None,
 ):
     """Banded (or full-height) edit distances with HBM-striped state.
 
@@ -615,7 +615,7 @@ def striped_cost_tpu(
     WS = stripe_words
     assert WS % 8 == 0
 
-    plan = _plan_striped(n_max, S, SW, WS, time_block)
+    plan = _plan_striped(n_max, S, SW, WS, time_block, diag)
     TB, n_tb, T_pad = plan["TB"], plan["n_tb"], plan["T_pad"]
     n_stripes, nw_pad = plan["n_stripes"], plan["nw_pad"]
     lo = plan["lo"]
@@ -680,7 +680,7 @@ def striped_cost_tpu(
 def striped_ck_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int, col_block: int | None = None,
     stripe_words: int = 1024, time_block: int = 512, interpret: bool = False,
-    static_windows: bool = False,
+    static_windows: bool = False, diag=None,
 ):
     """Striped banded cost + per-block window checkpoints: big-band (or
     full-height) CIGAR traces with NO VMEM band ceiling.
@@ -706,7 +706,7 @@ def striped_ck_tpu(
     CB = min(max(CB, SWP), max(n_max, 1))
     n_ck = n_max // CB + 1
 
-    plan = _plan_striped(n_max, S, SW, WS, time_block)
+    plan = _plan_striped(n_max, S, SW, WS, time_block, diag)
     TB = plan["TB"]
     n_stripes, nw_pad = plan["n_stripes"], plan["nw_pad"]
     lo = plan["lo"]

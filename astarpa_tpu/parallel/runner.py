@@ -72,14 +72,80 @@ class BatchAligner:
     domain_k: int = 12
     domain_r: int = 2
     max_f_rounds: int = 10
-    # Checkpoint interval (columns) for the ck/trace path; None = max(1024,
-    # band).  Larger blocks shrink the device->host checkpoint readback
-    # ~1/CB at the price of longer native DT-burst segments (burst work
-    # grows ~linearly with CB at fixed error rate).
+    # Checkpoint interval (columns) for the ck/trace path; None = an
+    # auto policy (max(2048, band); 4096 beyond 16kbp).  The device->host
+    # checkpoint readback shrinks ~1/CB while the native DT-burst trace is
+    # ~flat in CB (x-drop live-window bursts; see native trace prof) until
+    # very long segments start paying pruned-burst retries.
     ck_col_block: int | None = None
+    # Padded-geometry quantum for packing ("auto": none below 4kbp, 512 to
+    # 32kbp, 2048 above).  A stream of same-shaped batches then reuses ONE
+    # compiled kernel geometry instead of paying a multi-second Mosaic
+    # recompile for every batch's slightly different max-m (see
+    # ops.pallas_myers.pack_batch_staggered shape_quantum).
+    shape_quantum: object = "auto"
+    # Warm-start band hints: bucket-class -> band that certified the last
+    # bucket of that class.  In a stream of similar batches the ladder then
+    # starts AT the certifying rung (no probe rung, no extra device sync);
+    # distribution drift is caught by the normal certificate + rung
+    # prediction.  Purely a starting point — never affects exactness.
+    _band_hints: dict = field(default_factory=dict, repr=False)
+    # Sticky diagonal aims per packed geometry (see _diag).
+    _diag_hints: dict = field(default_factory=dict, repr=False)
+
+    @staticmethod
+    def _bucket_class(bucket_pairs) -> int:
+        n_top = max(len(a) for a, _ in bucket_pairs)
+        ncls, size = 0, 64
+        while size < n_top:
+            size = int(size * 1.5) + 1
+            ncls += 1
+        return ncls
+
+    def _start_band(self, bucket_pairs) -> int:
+        hint = self._band_hints.get(self._bucket_class(bucket_pairs), 0)
+        return max(self.band_words, hint)
+
+    def _shape_quantum(self, bucket_pairs) -> int | None:
+        if self.shape_quantum != "auto":
+            return self.shape_quantum or None
+        n_top = max(len(a) for a, _ in bucket_pairs)
+        if n_top <= 4096:
+            return None
+        return 512 if n_top <= 32768 else 2048
+
+    def _diag(self, n, m, B0: int, n_max: int, S: int) -> tuple:
+        """STICKY quantized bucket diagonal for schedules + thresholds: aim
+        the shared band at the pairs' real max (n, m) instead of the padded
+        plane bottom — shape padding (shape_quantum) then costs zero band
+        rows.  The aim is remembered per packed geometry and reused while
+        the new batch's max-m sits within a small budget (~n/128) below it,
+        because ``diag`` is a static jit arg: every distinct value costs a
+        multi-second XLA wrapper compile, so a stream of similar batches
+        must converge on ONE value.  Soundness: band_threshold's dev term
+        measures each pair against this same diagonal, so the <=budget
+        overshoot is priced into the certificate."""
+        n_arr = np.asarray(n)[:B0]
+        m_arr = np.asarray(m)[:B0]
+        n_top = max(1, int(n_arr.max()))
+        m_top = int(m_arr.max())
+        cand = -(-(m_top * n_max) // n_top)  # rescale slope to padded cols
+        cand = min(-(-cand // 32) * 32, S * W)
+        # The aim need not sit above every m — band_threshold's dev term
+        # prices |aim - m| in BOTH directions — so reuse symmetrically.
+        budget = max(64, n_top >> 7)
+        key = (n_max, S)
+        prev = self._diag_hints.get(key)
+        if prev is not None and abs(cand - prev) <= budget:
+            return (n_max, prev)
+        self._diag_hints[key] = cand
+        return (n_max, cand)
 
     def _cb(self, sw: int, n_max: int) -> int:
-        base = self.ck_col_block if self.ck_col_block else max(1024, sw)
+        if self.ck_col_block:
+            base = self.ck_col_block
+        else:
+            base = max(2048 if n_max <= 16384 else 4096, sw)
         # sw+8: the striped ck kernel's 8-aligned capture windows need
         # CB >= SW + 8 (the other ck kernels accept any CB >= SW).
         return min(max(base, sw + 8), max(n_max, 1))
@@ -119,7 +185,8 @@ class BatchAligner:
         from ..ops import banded
         from ..ops.pallas_myers import pack_batch_staggered
 
-        band = self.band_words
+        cls = self._bucket_class([pairs[i] for i in idxs])
+        band = self._start_band([pairs[i] for i in idxs])
         pending = idxs
         attempt = 0
         packed = None  # (args, B0, members): reused across rungs while the
@@ -129,12 +196,16 @@ class BatchAligner:
         while True:
             if packed is None or 2 * len(pending) <= len(packed[2]):
                 bucket_pairs = [pairs[i] for i in pending]
-                args, B0 = pack_batch_staggered(bucket_pairs, self._pack_multiple())
+                args, B0 = pack_batch_staggered(
+                    bucket_pairs, self._pack_multiple(),
+                    shape_quantum=self._shape_quantum(bucket_pairs),
+                )
                 args = self._shard(args)
                 packed = (args, B0, list(pending))
             args, B0, members = packed
             a0, a1, pb0, pb1, n, m = args
             n_max, S = a0.shape[0], pb0.shape[0]
+            diag = self._diag(n, m, B0, n_max, S)
             sw = min(band, S)
             # Skewed buckets (m_max > W * n_max) have no valid <=1-word/column
             # shift schedule; and the last ladder rung clamps to the always-
@@ -142,7 +213,7 @@ class BatchAligner:
             if S > max(n_max, 1) or attempt >= self.max_band_doublings:
                 sw = S
             costs = np.asarray(
-                self._kernel(a0, a1, pb0, pb1, n, m, sw, S)
+                self._kernel(a0, a1, pb0, pb1, n, m, sw, S, diag)
             )[:B0]
             stats.cells_computed += n_max * sw * W * len(members)
             if sw >= S:
@@ -150,7 +221,7 @@ class BatchAligner:
                 ok = np.ones(B0, dtype=bool)
             else:
                 thr = banded.band_threshold(
-                    sw, np.asarray(n)[:B0], np.asarray(m)[:B0], n_max, S * W
+                    sw, np.asarray(n)[:B0], np.asarray(m)[:B0], *diag
                 )
                 ok = costs <= thr
             pending_set = set(pending)
@@ -166,13 +237,14 @@ class BatchAligner:
                     fail_slots.append(slot)
             pending = nxt
             if not pending:
+                self._band_hints[cls] = sw
                 return
             assert sw < S, "full-height window must certify every pair"
             stats.band_retries += 1
-            band = self._next_band(band, costs, fail_slots, n, m, B0, n_max, S)
+            band = self._next_band(band, costs, fail_slots, n, m, B0, diag)
             attempt += 1
 
-    def _next_band(self, band, costs, fail_slots, n, m, B0, n_max, S) -> int:
+    def _next_band(self, band, costs, fail_slots, n, m, B0, diag) -> int:
         """Jump the ladder to the band the failed pairs' banded upper bounds
         certify at (see :func:`ops.banded.band_for_cost`), falling back to
         doubling when a result is the INF sentinel.  A +1 word pad absorbs
@@ -191,7 +263,7 @@ class BatchAligner:
         sel = sel[finite]
         need = banded.band_for_cost(
             c[finite], np.asarray(n)[:B0][sel], np.asarray(m)[:B0][sel],
-            n_max, S * W,
+            *diag,
         )
         return max(floor, int(need.max()) + 1)
 
@@ -292,7 +364,8 @@ class BatchAligner:
 
         bucket_pairs = [pairs[i] for i in idxs]
         args, B0 = pack_batch_staggered(
-            bucket_pairs, self._pack_multiple(for_ck=results is not None)
+            bucket_pairs, self._pack_multiple(for_ck=results is not None),
+            shape_quantum=self._shape_quantum(bucket_pairs),
         )
         args = self._shard(args)
         a0, a1, pb0, pb1, n, m = args
@@ -365,7 +438,9 @@ class BatchAligner:
                 sw = min(sw, S)
                 ck_mode = results is not None
                 if sw >= S or (
-                    ck_mode and _select_pp(B // ndev, sw, max_pp=1024) < 128
+                    ck_mode
+                    and _select_pp(B // ndev, sw, max_pp=1024,
+                                   cb=self._cb(sw, n_max)) < 128
                 ):
                     break  # band no longer thin; plain ladder is better
                 sched_arr = np.zeros((n_max, B), np.uint8)
@@ -455,9 +530,10 @@ class BatchAligner:
         B = a0.shape[1]
         n_max = a0.shape[0]
         ndev = 1 if self.mesh is None else self.mesh.devices.size
-        pp = _select_pp(B // ndev, sw, max_pp=1024 if want_ck else 2048)
-        on_tpu = jax.default_backend() == "tpu" or self.pallas_interpret
         CB = self._cb(sw, n_max)
+        pp = _select_pp(B // ndev, sw, max_pp=1024 if want_ck else 2048,
+                        cb=CB if want_ck else 0)
+        on_tpu = jax.default_backend() == "tpu" or self.pallas_interpret
         if self.mesh is not None and on_tpu and pp >= 128:
             # Multi-chip product path: the per-pair Pallas kernel (cost or
             # checkpointing) runs on every shard via shard_map; schedules
@@ -541,7 +617,7 @@ class BatchAligner:
             a0, a1, pb0, pb1, n, m, sched_arr, band_words=sw
         )
 
-    def _kernel(self, a0, a1, pb0, pb1, n, m, sw: int, S: int):
+    def _kernel(self, a0, a1, pb0, pb1, n, m, sw: int, S: int, diag=None):
         """Dispatch the banded cost kernel: single device, or `shard_map`
         over the mesh's batch axis so *every* shard runs the same
         kernel-selection logic (Pallas on TPU shards; jnp elsewhere).
@@ -556,9 +632,10 @@ class BatchAligner:
             sw = min(-(-sw // 8) * 8, S)
         if self.mesh is None:
             return _local_cost(
-                a0, a1, pb0, pb1, n, m, sw=sw, interpret=self.pallas_interpret
+                a0, a1, pb0, pb1, n, m, sw=sw,
+                interpret=self.pallas_interpret, diag=diag,
             )
-        return _sharded_cost(self.mesh, sw, self.pallas_interpret)(
+        return _sharded_cost(self.mesh, sw, self.pallas_interpret, diag)(
             a0, a1, pb0, pb1, n, m
         )
 
@@ -633,6 +710,15 @@ class BatchAligner:
         """TPU fast path: band-doubling ladder over the checkpointing Pallas
         kernel; each rung both certifies costs and yields the checkpoints
         its certified pairs are traced from (no second DP pass)."""
+        results, stats, trace_jobs = self._align_dispatch(pairs)
+        self._flush_traces(trace_jobs, pairs, results)
+        return results, stats
+
+    def _align_dispatch(self, pairs):
+        """Device half of :meth:`_align_combined`: runs the full ladder and
+        stages every certified pair's checkpoint readback (async copies in
+        flight), but does NOT drain the traces.  Returns
+        ``(results, stats, trace_jobs)``; the caller owns the flush."""
         stats = BatchStats(pairs=len(pairs))
         results: list = [None] * len(pairs)
         todo: list[int] = []
@@ -659,17 +745,62 @@ class BatchAligner:
                     self._align_bucket_ck(
                         pairs, bucket, results, stats, trace_jobs=trace_jobs
                     )
-        finally:
+        except BaseException:
+            # Leave no staged-but-undrained jobs behind on the error path.
             self._flush_traces(trace_jobs, pairs, results)
+            raise
         stats.aligned_bp = sum(len(a) for a, _ in pairs)
-        return results, stats
+        return results, stats, trace_jobs
+
+    def align_iter(self, batches):
+        """Pipelined streaming alignment: yields one ``(results, stats)``
+        per input batch, in order.  Batch k's host traces and checkpoint
+        transfers drain on a side thread WHILE batch k+1 packs and runs its
+        device ladder (the native ctypes calls and the device->host
+        transfer waits both release the GIL) — in steady state the link and
+        the host trace pool stay busy through the device dispatch gaps,
+        which single ``align()`` calls spend idle.
+
+        The production serving shape (SURVEY.md §2.6 streaming runner):
+        ``for results, stats in aligner.align_iter(batch_source): ...``.
+        Falls back to per-batch ``align_with_stats`` off-TPU.
+        """
+        import jax
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import native
+
+        if not (native.available() and (
+            jax.default_backend() == "tpu" or self.pallas_interpret
+        )):
+            for pairs in batches:
+                yield self.align_with_stats(pairs)
+            return
+
+        prev = None  # (pairs, results, stats, trace_jobs)
+        with ThreadPoolExecutor(1) as ex:
+            flush_fut = None
+            for pairs in batches:
+                if prev is not None:
+                    flush_fut = ex.submit(
+                        self._flush_traces, prev[3], prev[0], prev[1]
+                    )
+                cur = (pairs, *self._align_dispatch(pairs))
+                if prev is not None:
+                    flush_fut.result()
+                    yield prev[1], prev[2]
+                prev = cur
+            if prev is not None:
+                self._flush_traces(prev[3], prev[0], prev[1])
+                yield prev[1], prev[2]
 
     def _align_bucket_ck(self, pairs, idxs, results, stats,
                          trace_jobs: list | None = None) -> None:
         from ..ops import banded
         from ..ops.pallas_myers import pack_batch_staggered
 
-        band = self.band_words
+        cls = self._bucket_class([pairs[i] for i in idxs])
+        band = self._start_band([pairs[i] for i in idxs])
         pending = idxs
         attempt = 0
         # Caller-owned job list = traces drain after ALL buckets dispatch;
@@ -683,29 +814,31 @@ class BatchAligner:
                 if packed is None or 2 * len(pending) <= len(packed[2]):
                     bucket_pairs = [pairs[i] for i in pending]
                     args, B0 = pack_batch_staggered(
-                        bucket_pairs, self._pack_multiple(for_ck=True)
+                        bucket_pairs, self._pack_multiple(for_ck=True),
+                        shape_quantum=self._shape_quantum(bucket_pairs),
                     )
                     args = self._shard(args)
                     packed = (args, B0, list(pending))
                 args, B0, members = packed
                 a0, a1, pb0, pb1, n, m = args
                 n_max, S = a0.shape[0], pb0.shape[0]
+                diag = self._diag(n, m, B0, n_max, S)
                 sw = min(band, S)
                 if S > max(n_max, 1) or attempt >= self.max_band_doublings:
                     sw = S
                 if sw > 64:
                     sw = min(-(-sw // 8) * 8, S)
                 ndev = 1 if self.mesh is None else self.mesh.devices.size
-                pp = _select_pp(a0.shape[1] // ndev, sw, max_pp=1024)
                 # DT bursts make long checkpoint intervals cheap, and the
                 # device->host readback shrinks with 1/CB.
                 CB = self._cb(sw, n_max)
+                pp = _select_pp(a0.shape[1] // ndev, sw, max_pp=1024, cb=CB)
                 if pp < 128:
                     if self.mesh is None:
                         big_ok = self._striped_ck_ok(sw, a0.shape[1])
                     else:
                         big_ok = self._mesh_ck_kind(
-                            sw, n_max, S, a0.shape[1], CB, pp
+                            sw, n_max, S, a0.shape[1], CB, pp, diag
                         ) != "sliding"
                     if not big_ok:
                         # Band too tall for every ck kernel (sliding VMEM
@@ -718,7 +851,7 @@ class BatchAligner:
                         self._trace_bucket(pairs, pending, sub, results)
                         return
                 got, ckvp, ckvm, cktv = self._ck_kernel(
-                    a0, a1, pb0, pb1, n, m, sw, CB, pp
+                    a0, a1, pb0, pb1, n, m, sw, CB, pp, diag
                 )
                 stats.cells_computed += n_max * sw * W * len(members)
                 # Optimistic readback: start streaming every member lane's
@@ -744,7 +877,7 @@ class BatchAligner:
                     ok = np.ones(B0, dtype=bool)
                 else:
                     thr = banded.band_threshold(
-                        sw, np.asarray(n)[:B0], np.asarray(m)[:B0], n_max, S * W
+                        sw, np.asarray(n)[:B0], np.asarray(m)[:B0], *diag
                     )
                     ok = costs <= thr
                 pending_set = set(pending)
@@ -759,7 +892,7 @@ class BatchAligner:
                     # traces at flush time.  When the optimistic copies were
                     # not issued (big buffers), gather only certified lanes —
                     # the host link is the scarce resource.
-                    shift = banded.shift_at_array(n_max, S, sw)
+                    shift = banded.shift_at_array(n_max, S, sw, diag)
                     if opt_chunks is None:
                         sel_arr = np.asarray(sel)
                         chunks = _stage_ck_chunks(
@@ -778,10 +911,11 @@ class BatchAligner:
                         ))
                 pending = next_pending
                 if not pending:
+                    self._band_hints[cls] = sw
                     return
                 assert sw < S, "full-height window must certify every pair"
                 stats.band_retries += 1
-                band = self._next_band(band, costs, fail_slots, n, m, B0, n_max, S)
+                band = self._next_band(band, costs, fail_slots, n, m, B0, diag)
                 attempt += 1
         finally:
             if flush_here:
@@ -801,7 +935,7 @@ class BatchAligner:
         )
 
     def _mesh_ck_kind(self, sw: int, n_max: int, S: int, B: int, CB: int,
-                      pp: int) -> str:
+                      pp: int, diag=None) -> str:
         """Big-band layout for the sharded ck dispatch: pinned when the
         band fits its VMEM residency (checked host-side — inside shard_map
         a compile-time OOM is not catchable), striped when the sliding
@@ -823,13 +957,14 @@ class BatchAligner:
             from ..ops.pinned import _fits_shared, _plan
 
             for TB in (1024, 512, 256):
-                if _fits_shared(_plan(n_max, S, sw, TB), TB):
+                if _fits_shared(_plan(n_max, S, sw, TB, diag), TB):
                     return "pinned"
         if (pp < 128 or sw > PINNED_MAX_SW) and sw % 8 == 0:
             return "striped"
         return "sliding"
 
-    def _ck_kernel(self, a0, a1, pb0, pb1, n, m, sw: int, CB: int, pp: int):
+    def _ck_kernel(self, a0, a1, pb0, pb1, n, m, sw: int, CB: int, pp: int,
+                   diag=None):
         """Checkpointing-kernel dispatch: single device, or shard_map over
         the mesh's batch axis (every shard runs the Pallas ck kernel; the
         per-pair traces are host work that parallelizes across hosts).
@@ -842,11 +977,18 @@ class BatchAligner:
 
         global LAST_KERNEL
         if self.mesh is None:
+            # Pinned routing: big shared bands always; smaller bands too
+            # when the sliding kernel's pairs-per-program collapses (tiny
+            # batches / CB-heavy VMEM) — pinned keeps full sublane tiles
+            # at ANY band height, sliding at PP<512 runs ~0.35 Tcells/s.
+            pinned_band = PINNED_MIN_SW <= sw <= PINNED_MAX_SW or (
+                pp < 512 and 64 <= sw <= PINNED_MAX_SW and sw % 8 == 0
+            )
             if (
                 PINNED_ENABLED
                 and jax.default_backend() == "tpu"
                 and not self.pallas_interpret
-                and PINNED_MIN_SW <= sw <= PINNED_MAX_SW
+                and pinned_band
                 and a0.shape[1] % 128 == 0
                 and CB >= sw
             ):
@@ -854,7 +996,8 @@ class BatchAligner:
 
                 try:
                     out = pinned_ck_tpu(
-                        a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB
+                        a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
+                        diag=diag,
                     )
                     LAST_KERNEL = "pinned-ck"
                     return out
@@ -868,7 +1011,7 @@ class BatchAligner:
                 LAST_KERNEL = "striped-ck"
                 return striped_ck_tpu(
                     a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
-                    interpret=self.pallas_interpret,
+                    interpret=self.pallas_interpret, diag=diag,
                 )
             assert pp >= 128, "no ck kernel can serve this geometry"
             from ..ops.pallas_banded import banded_ck_tpu
@@ -877,12 +1020,13 @@ class BatchAligner:
             return banded_ck_tpu(
                 a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
                 pairs_per_program=pp, interpret=self.pallas_interpret,
+                diag=diag,
             )
         kind = self._mesh_ck_kind(
-            sw, a0.shape[0], pb0.shape[0], a0.shape[1], CB, pp
+            sw, a0.shape[0], pb0.shape[0], a0.shape[1], CB, pp, diag
         )
         return _sharded_ck(self.mesh, sw, CB, pp, self.pallas_interpret,
-                           kind)(a0, a1, pb0, pb1, n, m)
+                           kind, diag)(a0, a1, pb0, pb1, n, m)
 
     def _flush_traces(self, trace_jobs: list, pairs, results) -> None:
         """Drain deferred checkpoint traces.  Every job's chunk already has
@@ -900,9 +1044,14 @@ class BatchAligner:
 
         def run(job: "_TraceJob", vp, vm, tv):
             a, b = pairs[job.pair]
+            # known_cost: the device ladder already certified this pair's
+            # exact distance, so the trace skips its O(CB*SW) final-stripe
+            # recompute of the target value; the per-segment landing checks
+            # against the checkpoint planes still verify the path.
             cost, cigar = native.trace_banded_ck(
                 a, b, job.s_words, vp[:, :, job.pos], vm[:, :, job.pos],
                 tv[:, job.pos], job.shift, job.sw, job.cb,
+                known_cost=job.want,
             )
             assert cost == job.want, (cost, job.want)
             return job.pair, cost, cigar
@@ -937,14 +1086,18 @@ class BatchAligner:
         from ..ops.pallas_myers import pack_batch_staggered
 
         bucket_pairs = [pairs[i] for i in idxs]
-        args, B0 = pack_batch_staggered(bucket_pairs, self._pack_multiple(for_ck=True))
+        args, B0 = pack_batch_staggered(
+            bucket_pairs, self._pack_multiple(for_ck=True),
+            shape_quantum=self._shape_quantum(bucket_pairs),
+        )
         a0, a1, pb0, pb1, n, m = args
         n_max, S = a0.shape[0], pb0.shape[0]
+        diag = self._diag(n, m, B0, n_max, S)
         # Wide-enough certified band for every pair in the bucket.
         sw = min(self.band_words, S)
         while sw < S:
             thr = banded.band_threshold(
-                sw, np.asarray(n)[:B0], np.asarray(m)[:B0], n_max, S * W
+                sw, np.asarray(n)[:B0], np.asarray(m)[:B0], *diag
             )
             if (np.asarray([costs[i] for i in idxs]) <= thr).all():
                 break
@@ -955,8 +1108,9 @@ class BatchAligner:
         B = a0.shape[1]
         if sw > 64:
             sw = min(-(-sw // 8) * 8, S)
-        shift = banded.shift_at_array(n_max, S, sw)
-        pp = _select_pp(B, sw, max_pp=1024)
+        shift = banded.shift_at_array(n_max, S, sw, diag)
+        CB = self._cb(sw, n_max)
+        pp = _select_pp(B, sw, max_pp=1024, cb=CB)
         if (jax.default_backend() == "tpu" or self.pallas_interpret) and (
             pp >= 128 or self._striped_ck_ok(sw, B)
         ):
@@ -964,9 +1118,8 @@ class BatchAligner:
             # recomputes stripes) in between (`trace.rs:231-416,71-125`).
             # Same dispatch as the combined ladder (pinned-ck for big
             # shared bands, sliding otherwise).
-            CB = self._cb(sw, n_max)
             got, ckvp, ckvm, cktv = self._ck_kernel(
-                a0, a1, pb0, pb1, n, m, sw, CB, pp
+                a0, a1, pb0, pb1, n, m, sw, CB, pp, diag
             )
             # Only the real pairs' checkpoints cross the (slow) device->host
             # link; the staged copies stream behind the thread-pooled traces.
@@ -1004,7 +1157,7 @@ class BatchAligner:
                 results[i] = (cost, cigar)
             return
         got, vp_cols, vm_cols = banded.banded_fill(
-            a0, a1, pb0, pb1, n, m, band_words=sw
+            a0, a1, pb0, pb1, n, m, band_words=sw, diag=diag
         )
         vp_cols = np.asarray(vp_cols[:, :, :B0])
         vm_cols = np.asarray(vm_cols[:, :, :B0])
@@ -1086,8 +1239,10 @@ class _TraceJob:
 _CHUNK_TARGET_BYTES = 2 * 2**20
 # Ceiling for the *optimistic* pre-certification readback (checkpoints of
 # every lane stream to the host before the cost vector arrives; a failed
-# rung wastes at most this many bytes).
-_OPT_READBACK_BYTES = 4 * 2**20
+# rung wastes at most this many bytes — ~1.1s of link here, nothing on a
+# PCIe-class host).  8MB covers a 4096-lane 10kbp batch at CB=2048, where
+# losing the optimistic overlap measured ~2x worse than the waste risk.
+_OPT_READBACK_BYTES = 8 * 2**20
 
 
 def _stage_ck_chunks(ckvp, ckvm, cktv, lanes: int):
@@ -1123,7 +1278,7 @@ def _chunk_of(chunks, p: int):
 
 @functools.lru_cache(maxsize=None)
 def _sharded_ck(mesh, sw: int, CB: int, pp: int, interpret: bool,
-                kind: str = "sliding"):
+                kind: str = "sliding", diag=None):
     """shard_map'd checkpointing kernel over the mesh's batch axis: every
     shard runs the Pallas ck kernel on its own pairs; checkpoints come back
     sharded along the pair axis (`astarpa2/src/blocks/trace.rs:16-135`
@@ -1143,7 +1298,7 @@ def _sharded_ck(mesh, sw: int, CB: int, pp: int, interpret: bool,
             LAST_KERNEL = "pinned-ck-sharded"
             return pinned_ck_tpu(
                 a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
-                interpret=interpret, static_windows=True,
+                interpret=interpret, static_windows=True, diag=diag,
             )
         if kind == "striped":
             from ..ops.striped import striped_ck_tpu
@@ -1151,12 +1306,12 @@ def _sharded_ck(mesh, sw: int, CB: int, pp: int, interpret: bool,
             LAST_KERNEL = "striped-ck-sharded"
             return striped_ck_tpu(
                 a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
-                interpret=interpret, static_windows=True,
+                interpret=interpret, static_windows=True, diag=diag,
             )
         LAST_KERNEL = "pallas-ck-sharded"
         return banded_ck_tpu(
             a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
-            pairs_per_program=pp, interpret=interpret,
+            pairs_per_program=pp, interpret=interpret, diag=diag,
         )
 
     cols = P(None, "batch")
@@ -1213,15 +1368,22 @@ def _sharded_domain(mesh, sw: int, Q: int, interpret: bool, want_ck: bool,
     )
 
 
-def _select_pp(B: int, sw: int, max_pp: int = 4096) -> int:
+def _select_pp(B: int, sw: int, max_pp: int = 4096, cb: int = 0) -> int:
     """Largest pairs-per-program whose window state fits VMEM (above 256
     words the initial window lives in HBM, so only the 4 state arrays scale
-    with the band); 0 if no >=128 multiple divides the batch."""
+    with the band); 0 if no >=128 multiple divides the batch.
+
+    ``cb``: checkpoint column-block of the ck kernel, whose per-grid-step
+    input slab (two uint32 char planes of CB columns x PP pairs, DOUBLE-
+    buffered by the Pallas pipeline -> 16 bytes/column/pair) also lives in
+    VMEM — without this term, raising CB past ~1024 at PP>=512 blows the
+    16MB scoped limit at compile time (measured: CB=2048 PP=512 = 17.3M)."""
     per_word = 17 if sw > 256 else 24
     for cand in (4096, 2048, 1024, 512, 256, 128):
         if cand > max_pp:
             continue
-        if cand <= B and B % cand == 0 and per_word * sw * cand < 11 * 2**20:
+        need = (per_word * sw + 16 * cb) * cand
+        if cand <= B and B % cand == 0 and need < 11 * 2**20:
             return cand
     return 0
 
@@ -1252,7 +1414,8 @@ PINNED_MAX_SW = 2240
 PINNED_PP_MIN_SW = 512
 
 
-def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
+def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool,
+                diag=None):
     """Per-device kernel selection: Pallas whenever this shard's batch
     supports a >=128-pair program on a TPU backend (or interpret mode is
     forced); bit-identical jnp formulation otherwise.  Large shared bands
@@ -1265,11 +1428,18 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
     global LAST_KERNEL
     B = a0.shape[1]
     on_tpu = jax.default_backend() == "tpu"
+    pp = _select_pp(B, sw)
+    # Pinned routing: big shared bands always; smaller bands too when the
+    # sliding kernel's pairs-per-program collapses (tiny batches) — pinned
+    # keeps full sublane tiles at any band height.
+    pinned_band = PINNED_MIN_SW <= sw <= PINNED_MAX_SW or (
+        pp < 512 and 64 <= sw <= PINNED_MAX_SW and sw % 8 == 0
+    )
     if (
         PINNED_ENABLED
         and on_tpu
         and not interpret
-        and PINNED_MIN_SW <= sw <= PINNED_MAX_SW
+        and pinned_band
         and B % 128 == 0
     ):
         from ..ops.pinned import pinned_cost_tpu
@@ -1280,7 +1450,7 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
         try:
             out = pinned_cost_tpu(
                 a0, a1, pb0, pb1, n, m, band_words=sw,
-                static_windows=isinstance(a0, jax.core.Tracer),
+                static_windows=isinstance(a0, jax.core.Tracer), diag=diag,
             )
             LAST_KERNEL = "pinned"
             return out
@@ -1300,13 +1470,12 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
         try:
             out = striped_cost_tpu(
                 a0, a1, pb0, pb1, n, m, band_words=sw,
-                static_windows=isinstance(a0, jax.core.Tracer),
+                static_windows=isinstance(a0, jax.core.Tracer), diag=diag,
             )
             LAST_KERNEL = "striped"
             return out
         except (ValueError, jax.errors.JaxRuntimeError):
             pass
-    pp = _select_pp(B, sw)
     use_pallas = pp >= 128 and (on_tpu or interpret)
     LAST_KERNEL = "pallas" if use_pallas else "jnp"
     if use_pallas:
@@ -1315,18 +1484,21 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool):
         return banded_cost_tpu(
             a0, a1, pb0, pb1, n, m,
             band_words=sw, pairs_per_program=pp, interpret=interpret,
+            diag=diag,
         )
-    return banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw)
+    return banded.banded_cost(a0, a1, pb0, pb1, n, m, band_words=sw,
+                              diag=diag)
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_cost(mesh, sw: int, interpret: bool):
+def _sharded_cost(mesh, sw: int, interpret: bool, diag=None):
     """shard_map'd banded cost over the mesh's batch axis.  Cached per
-    (mesh, band) so jax.jit's trace cache is effective across batches."""
+    (mesh, band, diag) so jax.jit's trace cache is effective across
+    batches."""
     import jax
     from jax.sharding import PartitionSpec as P
 
-    fn = functools.partial(_local_cost, sw=sw, interpret=interpret)
+    fn = functools.partial(_local_cost, sw=sw, interpret=interpret, diag=diag)
     cols = P(None, "batch")
     vec = P("batch")
     return jax.jit(

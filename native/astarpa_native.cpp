@@ -1469,8 +1469,19 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
                                     const uint32_t* ck_vm,
                                     const int32_t* ck_tv, int n_ck_dev,
                                     const int32_t* shift_at, int SW, int CB,
-                                    int use_dt, int ck_rows,
+                                    int use_dt, int ck_rows, int known_cost,
                                     char** cigar_out) {
+  // Phase profile (ASTARPA_TRACE_PROF=1): one stderr line per call.
+  static const bool kProf = getenv("ASTARPA_TRACE_PROF") != nullptr;
+  auto now_ns = [] {
+    timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return double(ts.tv_sec) * 1e9 + double(ts.tv_nsec);
+  };
+  double prof_t0 = kProf ? now_ns() : 0, prof_init = 0, prof_burst = 0,
+         prof_step = 0, prof_cig = 0;
+  i32 prof_bursts = 0, prof_fails = 0;
+
   BandedRecompute rc;
   rc.init(a, n, b, m, S, SW, shift_at);
 
@@ -1596,8 +1607,15 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
   };
 
   i32 i = n, j = m;
-  if (j < top_rows_at(n)) return -3;
-  i32 g = dval(n, m);
+  // Final-column window top from the schedule prefix alone; computing it
+  // (or the target value below) through state_at(n) would recompute the
+  // whole final stripe — O(CB*SW) Myers columns of pure overhead when the
+  // caller already knows the certified cost.
+  i32 lo_n = lo_ck[n_ck - 1];
+  for (i32 col = (n_ck - 1) * CB; col < n; col++)
+    if (shift_at[col]) lo_n++;
+  if (j < lo_n * 32) return -3;
+  i32 g = known_cost >= 0 ? known_cost : dval(n, m);
   i32 total = g;
   std::string rev;
   // DT layer arena shared across bursts: layer gl occupies entries
@@ -1605,7 +1623,7 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
   // demand — per-layer vector allocations were a measurable slice of the
   // trace at 10kbp.  Stale entries are never read: every prev-layer probe
   // is bounds-checked against a layer the current burst wrote completely.
-  std::vector<i32> raw_fl, ext_fl, pe_pad;
+  std::vector<i32> raw_fl, ext_fl, pe_pad, cand_lo, cand_hi;
 
   // Backward DT burst from (iu, ju) (banded value Du) to checkpoint column
   // c0: grow farthest-back-reaching layers X[g][D] (D = j - i diagonal,
@@ -1615,6 +1633,12 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
   // first) to rev and updates (i, j, g); returns false to use the
   // stepwise fallback instead.
   const i32 kNoI = INT32_MAX;
+  // Backward-reach x-drop budget (see the pruning comment below); env
+  // override for bench sweeps.
+  static const i32 kXDrop = [] {
+    const char* e = getenv("ASTARPA_XDROP");
+    return e ? atoi(e) : 32;
+  }();
   auto try_burst = [&](i32& iu, i32& ju, i32& Du, i32 c0) -> bool {
     i32 D0 = ju - iu;
     // Budget: local edits within this stripe, capped so layer memory stays
@@ -1666,7 +1690,26 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
       while (x > 0 && x + D > 0 && a[x - 1] == b[x + D - 1]) x--;
       return x;
     };
+    // X-drop pruning (the reference's fr_drop, `astarpa2/src/blocks/
+    // trace.rs:231-416`): diagonals whose backward reach lags the layer's
+    // farthest-back state by more than `drop` are dead weight — pruning
+    // them bounds the live layer width, so burst cost grows ~linearly in
+    // g instead of quadratically (which in turn makes LARGE checkpoint
+    // intervals cheap: readback shrinks 1/CB while the burst stays flat).
+    // Exactness is preserved: a landing is accepted only when the
+    // checkpoint column's value matches, and a pruned burst that misses
+    // the optimal path retries unpruned before the stepwise fallback.
+    for (i32 drop : {kXDrop, kNoI}) {
     i32 found_g = -1, found_D = 0;
+    // Live diagonal window [plo, phi] (D-space) of the previous layer;
+    // cand_lo/hi record each layer's WRITTEN range so reconstruction
+    // probes outside it read kNoI, not stale arena entries.  Iterating
+    // only the live window (not all 2g+1 diagonals) is what converts the
+    // x-drop into an actual O(g * window) burst — the full-width scans
+    // were the dominant cost, not the extensions.
+    cand_lo.assign(1, D0);
+    cand_hi.assign(1, D0);
+    i32 plo = D0, phi = D0;
     for (i32 gl = 0; gl <= hard_cap && found_g < 0; gl++) {
       size_t need = size_t(gl + 1) * size_t(gl + 1);
       if (raw_fl.size() < need) {
@@ -1676,31 +1719,41 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
       }
       i32* rawg = raw_fl.data() + size_t(gl) * gl;
       i32* extg = ext_fl.data() + size_t(gl) * gl;
-      // Pass 1 — raw positions for the whole layer, as a branch-free
-      // min-chain over a kNoI-padded copy of the previous layer (the
-      // compiler vectorizes this; kNoI saturates through the -1).
+      i32 clo = std::max(D0 - gl, plo - 1), chi = std::min(D0 + gl, phi + 1);
+      if (gl >= i32(cand_lo.size())) {
+        cand_lo.push_back(clo);
+        cand_hi.push_back(chi);
+      }
+      // Pass 1 — raw positions for the live window, as a branch-free
+      // min-chain over a kNoI-padded copy of the previous layer's window
+      // (the compiler vectorizes this; kNoI saturates through the -1).
       if (gl == 0) {
         rawg[0] = iu;
       } else {
         const i32* prev = ext_fl.data() + size_t(gl - 1) * (gl - 1);
-        pe_pad.resize(2 * gl + 3);
-        pe_pad[0] = pe_pad[1] = kNoI;
-        memcpy(pe_pad.data() + 2, prev, (2 * gl - 1) * 4);
-        pe_pad[2 * gl + 1] = pe_pad[2 * gl + 2] = kNoI;
+        i32 width = chi - clo + 1;
+        pe_pad.assign(width + 2, kNoI);
+        // pe_pad[t] = prev ext at D = clo - 1 + t (kNoI outside prev's
+        // written range).
+        for (i32 D = std::max(plo, clo - 1); D <= std::min(phi, chi + 1);
+             D++)
+          pe_pad[D - (clo - 1)] = prev[D - D0 + gl - 1];
         const i32* pp = pe_pad.data();
-        for (i32 idx = 0; idx <= 2 * gl; idx++) {
+        for (i32 t = 0; t < width; t++) {
           // sub/del sources sit one column back (-1); ins keeps x.
-          i32 r = std::min(std::min(pp[idx + 1], pp[idx]) - 1, pp[idx + 2]);
-          i32 D = D0 - gl + idx;
+          i32 r = std::min(std::min(pp[t + 1], pp[t]) - 1, pp[t + 2]);
+          i32 D = clo + t;
           if (r >= kNoI - 1 || r < 0 || r + D < 0) r = kNoI;
-          rawg[idx] = r;
+          rawg[D - D0 + gl] = r;
         }
       }
-      // Pass 2 — greedy extension + landing check per state.
-      for (i32 D = D0 - gl; D <= D0 + gl; D++) {
+      // Pass 2 — greedy extension + landing check per live state.
+      i32 best = kNoI;
+      for (i32 D = clo; D <= chi; D++) {
         i32 r = rawg[D - D0 + gl];
         i32 e = extend_back(r, D);
         extg[D - D0 + gl] = e;
+        if (e < best) best = e;
         if (e != kNoI && e <= c0 && c0 <= r) {
           i32 jv = c0 + D;
           if (jv >= 0 && jv <= m && col_val(jv) == Du - gl) {
@@ -1710,19 +1763,40 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
           }
         }
       }
+      if (found_g >= 0) break;
+      if (best == kNoI) break;  // no live state: no path at this budget
+      // X-drop prune + live-window shrink for the next layer.
+      i32 lim = drop == kNoI ? kNoI : best + drop;
+      i32 nlo = kNoI, nhi = -1;
+      for (i32 D = clo; D <= chi; D++) {
+        i32& e = extg[D - D0 + gl];
+        if (e != kNoI && e > lim) e = kNoI;
+        if (e != kNoI) {
+          if (nlo == kNoI) nlo = D;
+          nhi = D;
+        }
+      }
+      if (nlo == kNoI) break;  // everything pruned: no path at this drop
+      plo = nlo;
+      phi = nhi;
     }
-    if (found_g < 0) return false;
+    if (found_g < 0) {
+      if (drop == kNoI) return false;
+      continue;  // optimal path pruned: retry without the x-drop
+    }
 
     // Reconstruct forward from the landing (c0, c0 + D) to (iu, ju).
     std::string fwd;
     i32 x = c0, D = found_D;
-    for (i32 gl = found_g; gl > 0; gl--) {
+    bool ok = true;
+    for (i32 gl = found_g; ok && gl > 0; gl--) {
       i32 r = raw_fl[size_t(gl) * gl + (D - D0 + gl)];
       fwd.append(r - x, '=');
       x = r;
       auto pe = [&](i32 Dp) -> i32 {
         i32 idx = Dp - D0 + (gl - 1);
         if (idx < 0 || idx > 2 * (gl - 1)) return kNoI;
+        if (Dp < cand_lo[gl - 1] || Dp > cand_hi[gl - 1]) return kNoI;
         return ext_fl[size_t(gl - 1) * (gl - 1) + idx];
       };
       if (pe(D) != kNoI && pe(D) - 1 == x) {
@@ -1736,18 +1810,24 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
         fwd += 'I';
         D += 1;
       } else {
-        return false;  // inconsistent layers; stepwise fallback
+        ok = false;  // inconsistent layers
       }
     }
-    if (D != D0 || x > iu) return false;
+    if (!ok || D != D0 || x > iu) {
+      if (drop == kNoI) return false;  // stepwise fallback
+      continue;
+    }
     fwd.append(iu - x, '=');
     rev.append(fwd.rbegin(), fwd.rend());
     ju = c0 + found_D;
     iu = c0;
     Du -= found_g;
     return true;
+    }  // drop escalation
+    return false;
   };
 
+  if (kProf) prof_init = now_ns() - prof_t0;
   while (i > 0 || j > 0) {
     if (i == 0) {
       rev.append(j, 'I');
@@ -1758,7 +1838,17 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
       break;
     }
     i32 c0 = (i - 1) / CB * CB;
-    if (use_dt && try_burst(i, j, g, c0)) continue;
+    if (use_dt) {
+      double t = kProf ? now_ns() : 0;
+      bool okb = try_burst(i, j, g, c0);
+      if (kProf) {
+        prof_bursts++;
+        prof_burst += now_ns() - t;
+        if (!okb) prof_fails++;
+      }
+      if (okb) continue;
+    }
+    double t_step = kProf ? now_ns() : 0;
     // Stepwise fallback through the recomputed stripe, until the previous
     // checkpoint column (then bursts take over again).
     while (i > c0 && j > 0) {
@@ -1788,13 +1878,23 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
         return -4;
       }
     }
+    if (kProf) prof_step += now_ns() - t_step;
   }
+  if (kProf) prof_t0 = now_ns();
   if (cigar_out) {
     CigarBuilder cb;
     for (auto it = rev.rbegin(); it != rev.rend(); ++it) cb.push(*it);
     cb.flush();
     *cigar_out = (char*)malloc(cb.s.size() + 1);
     memcpy(*cigar_out, cb.s.c_str(), cb.s.size() + 1);
+  }
+  if (kProf) {
+    prof_cig = now_ns() - prof_t0;
+    fprintf(stderr,
+            "[trace prof] n=%d init=%.0fus burst=%.0fus (%d calls, %d fail) "
+            "step=%.0fus cig=%.0fus\n",
+            n, prof_init / 1e3, prof_burst / 1e3, prof_bursts, prof_fails,
+            prof_step / 1e3, prof_cig / 1e3);
   }
   return total;
 }
@@ -1806,7 +1906,7 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
                                int n_ck_dev, const int32_t* shift_at, int SW,
                                int CB, int use_dt, char** cigar_out) {
   return trace_banded_ck_rows(a, n, b, m, S, ck_vp, ck_vm, ck_tv, n_ck_dev,
-                              shift_at, SW, CB, use_dt, SW, cigar_out);
+                              shift_at, SW, CB, use_dt, SW, -1, cigar_out);
 }
 
 // Traceback through stored banded-DP window planes (one pair).

@@ -59,7 +59,7 @@ top_p[1:] = np.bitwise_count(vp_cols[:-1, 0, :B0]).astype(np.int64) - \
     np.bitwise_count(vm_cols[:-1, 0, :B0]).astype(np.int64)
 tv_all = np.cumsum(1 + shift[:, None] * top_p, axis=0)  # tv after col i+1
 
-for CB in (256, 512, 1024, 2048, 4096):
+for CB in (256, 512, 1024, 2048, 4096, 8192, 16384):
     n_ck = n_max // CB + 1
     ckvp = np.zeros((n_ck, SW, B0), np.uint32)
     ckvm = np.zeros((n_ck, SW, B0), np.uint32)
@@ -88,7 +88,7 @@ for CB in (256, 512, 1024, 2048, 4096):
             a, b = pairs[slot]
             native.trace_banded_ck(
                 a, b, S, ckvp[:, :, slot], ckvm[:, :, slot], cktv[:, slot],
-                shift, SW, CB,
+                shift, SW, CB, known_cost=int(costs[slot]),
             )
     dt = (time.perf_counter() - t0) / (reps * B0)
 

@@ -125,6 +125,25 @@ def test_batch_aligner_mesh_bigband_ck(monkeypatch):
             assert cig.verify(a, b) == c
 
 
+def test_align_iter_pipelined_interpret():
+    """Streaming align_iter yields per-batch results in order, identical to
+    align(); batch k's traces drain while batch k+1 dispatches."""
+    ba = BatchAligner(band_words=8, lane_multiple=128, pallas_interpret=True,
+                      domain_mode="off")
+    batches = [
+        [generate.uniform_seeded(200 + 13 * s + 50 * k, 0.08, 100 * k + s)
+         for s in range(3)]
+        for k in range(3)
+    ]
+    got = list(ba.align_iter(iter(batches)))
+    assert len(got) == 3
+    for pairs, (res, stats) in zip(batches, got):
+        assert stats.pairs == len(pairs)
+        for (a, b), (c, cig) in zip(pairs, res):
+            assert c == oracle.levenshtein(a, b)
+            assert cig.verify(a, b) == c
+
+
 def test_align_single_char_pairs_interpret():
     """Regression (found by scripts/fuzz.py --aligner batch): SW == S == 1
     pairs crashed the shared Pallas kernel at trace time — the shift
