@@ -125,6 +125,32 @@ def test_batch_aligner_mesh_bigband_ck(monkeypatch):
             assert cig.verify(a, b) == c
 
 
+def test_shape_quantum_exactness():
+    """Geometry-quantized packing (stream-stable compiled shapes) with the
+    sticky diag-true schedule stays oracle-exact on a mixed bucket, for
+    both the cost and the cost+CIGAR paths."""
+    rng = np.random.default_rng(0)
+    pairs = []
+    for s in range(16):
+        n = int(rng.integers(150, 700))
+        e = float(rng.choice([0.02, 0.1, 0.25]))
+        pairs.append(generate.uniform_seeded(n, e, 1000 + s))
+    ba = BatchAligner(band_words=4, lane_multiple=128, pallas_interpret=True,
+                      domain_mode="off", shape_quantum=128)
+    res, stats = ba.align_with_stats(pairs)
+    for (a, b), (c, cig) in zip(pairs, res):
+        assert c == oracle.levenshtein(a, b)
+        assert cig.verify(a, b) == c
+    costs = ba.cost(pairs)
+    assert all(
+        int(c) == oracle.levenshtein(a, b)
+        for (a, b), c in zip(pairs, costs)
+    )
+    # Sticky diag: the second align of the same-shaped batch reuses the
+    # remembered aim (one jit entry), and band hints skip the probe rung.
+    assert ba._diag_hints and ba._band_hints
+
+
 def test_align_iter_pipelined_interpret():
     """Streaming align_iter yields per-batch results in order, identical to
     align(); batch k's traces drain while batch k+1 dispatches."""
