@@ -72,12 +72,12 @@ def _myers_word(eqw, vpw, vmw, hp, hm):
     return hmo | ~(vx | hpo), hpo & vx, hp_next, hm_next
 
 
-def _columns(r, *, SW: int, CB: int, emit: int, per_pair: bool, win_any: bool,
-             Q: int = 1, can_shift: bool = True):
+def _columns(r, *, SW: int, IB: int, emit: int, per_pair: bool,
+             win_any: bool, Q: int = 1, can_shift: bool = True, R: int = 1):
     """The shared column loop over one grid block.
 
     ``r`` is a namespace dict of refs; which keys exist depends on the
-    mode (see the entry shims).  Runs CB columns: slide window(s) per the
+    mode (see the entry shims).  Runs IB columns: slide window(s) per the
     schedule, one banded Myers column, emit, capture results.
 
     Per-pair mode: schedules are quantized so shifts can only occur at
@@ -118,20 +118,32 @@ def _columns(r, *, SW: int, CB: int, emit: int, per_pair: bool, win_any: bool,
             r["lo"][0] = 0
 
     if emit == EMIT_CK:
-        # Checkpoint: state + top_val entering this block (grouped for
-        # large bands to bound temporaries).
-        r["cktv"][0, 0] = r["top_val"][:]
-        if SW <= 64:
-            r["ckvp"][0] = r["vp"][0:SW][:, None]
-            r["ckvm"][0] = r["vm"][0:SW][:, None]
-        else:
-            def _ckcopy(g, _):
-                base = g * 8
-                r["ckvp"][0, pl.ds(base, 8)] = r["vp"][pl.ds(base, 8)][:, None]
-                r["ckvm"][0, pl.ds(base, 8)] = r["vm"][pl.ds(base, 8)][:, None]
-                return 0
+        # Checkpoint: state + top_val entering this emission window
+        # (grouped for large bands to bound temporaries).  With IB < CB
+        # (R > 1) only every R-th input block starts a window; the out
+        # block is revisited (unwritten) in between.
+        def _emit_ck():
+            r["cktv"][0, 0] = r["top_val"][:]
+            if SW <= 64:
+                r["ckvp"][0] = r["vp"][0:SW][:, None]
+                r["ckvm"][0] = r["vm"][0:SW][:, None]
+            else:
+                def _ckcopy(g, _):
+                    base = g * 8
+                    r["ckvp"][0, pl.ds(base, 8)] = (
+                        r["vp"][pl.ds(base, 8)][:, None]
+                    )
+                    r["ckvm"][0, pl.ds(base, 8)] = (
+                        r["vm"][pl.ds(base, 8)][:, None]
+                    )
+                    return 0
 
-            jax.lax.fori_loop(0, SW // 8, _ckcopy, 0)
+                jax.lax.fori_loop(0, SW // 8, _ckcopy, 0)
+
+        if R == 1:
+            _emit_ck()
+        else:
+            pl.when(k % R == 0)(_emit_ck)
 
     n = r["n"][0]
     m = r["m"][0]
@@ -140,7 +152,7 @@ def _columns(r, *, SW: int, CB: int, emit: int, per_pair: bool, win_any: bool,
 
     def shift_group(g):
         """Per-pair masked window roll at a Q-group boundary: every pair
-        whose (quantized) schedule shifts at column k*CB + g*Q rolls its
+        whose (quantized) schedule shifts at column k*IB + g*Q rolls its
         window one word down.  Runs once per Q columns — all vector ops,
         amortized to <1 op/column."""
         sel1 = r["smf"][g, 0]  # (P8, 128) u32 0/1
@@ -200,7 +212,7 @@ def _columns(r, *, SW: int, CB: int, emit: int, per_pair: bool, win_any: bool,
             r["w1"][SW - 1] = jnp.where(do_shift, e1, r["w1"][SW - 1])
 
     def col(t, carry):
-        i = k * CB + t
+        i = k * IB + t
 
         # --- window slide (shared schedule only: real control flow on the
         # scalar-prefetched bit — Mosaic cannot select whole vectors on a
@@ -380,11 +392,11 @@ def _columns(r, *, SW: int, CB: int, emit: int, per_pair: bool, win_any: bool,
         return carry
 
     if per_pair:
-        assert CB % Q == 0
+        assert IB % Q == 0
         import os as _os
 
         if _os.environ.get("ASTARPA_EXP_NOSHIFT"):  # timing bisection only
-            jax.lax.fori_loop(0, CB, col, 0)
+            jax.lax.fori_loop(0, IB, col, 0)
         else:
             def col_pp(t, carry):
                 @pl.when(t % Q == 0)
@@ -393,9 +405,9 @@ def _columns(r, *, SW: int, CB: int, emit: int, per_pair: bool, win_any: bool,
 
                 return col(t, carry)
 
-            jax.lax.fori_loop(0, CB, col_pp, 0)
+            jax.lax.fori_loop(0, IB, col_pp, 0)
     else:
-        jax.lax.fori_loop(0, CB, col, 0)
+        jax.lax.fori_loop(0, IB, col, 0)
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _finish():
@@ -407,7 +419,7 @@ def _columns(r, *, SW: int, CB: int, emit: int, per_pair: bool, win_any: bool,
 
 def _kernel_shared(shift_ref, lo_block_ref,
                    a0, a1, wn0, wn1, sb0, sb1, n, m,
-                   *rest, SW, CB, emit, win_any, can_shift=True):
+                   *rest, SW, IB, R, emit, win_any, can_shift=True):
     names = {"result": 0}
     if emit == EMIT_FILL:
         names = {"result": 0, "vpall": 1, "vmall": 2}
@@ -428,12 +440,12 @@ def _kernel_shared(shift_ref, lo_block_ref,
         r["dma"] = scratch[8]
     for nm, idx in names.items():
         r[nm] = outs[idx]
-    _columns(r, SW=SW, CB=CB, emit=emit, per_pair=False, win_any=win_any,
-             can_shift=can_shift)
+    _columns(r, SW=SW, IB=IB, R=R, emit=emit, per_pair=False,
+             win_any=win_any, can_shift=can_shift)
 
 
 def _kernel_perpair(a0, a1, wn0, wn1, smf, ent0, ent1, n, m,
-                    *rest, SW, CB, emit, win_any, Q):
+                    *rest, SW, IB, R, emit, win_any, Q):
     names = {"result": 0}
     if emit == EMIT_FILL:
         names = {"result": 0, "vpall": 1, "vmall": 2}
@@ -453,7 +465,8 @@ def _kernel_perpair(a0, a1, wn0, wn1, smf, ent0, ent1, n, m,
         r["dma"] = scratch[7]
     for nm, idx in names.items():
         r[nm] = outs[idx]
-    _columns(r, SW=SW, CB=CB, emit=emit, per_pair=True, win_any=win_any, Q=Q)
+    _columns(r, SW=SW, IB=IB, R=R, emit=emit, per_pair=True,
+             win_any=win_any, Q=Q)
 
 
 # --- host-side assembly -----------------------------------------------------
@@ -519,8 +532,23 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
     if per_pair:
         # Group-granular schedule reads: blocks cover whole Q-groups.
         CB = max(Q, CB // Q * Q)
-    n_blocks = -(-n_max // CB)
-    n_pad = n_blocks * CB
+    # Checkpoint mode streams inputs at IB (a divisor of CB) so the VMEM
+    # slab (16 bytes/column/pair double-buffered) stays bounded while the
+    # checkpoint interval CB — which sets the readback volume — can grow
+    # freely; emission is gated on entering every R-th input block.
+    IB = CB
+    if emit == EMIT_CK:
+        divs = [c for c in (512, 256, 128, 64, 32)
+                if CB % c == 0 and (not per_pair or c % Q == 0)]
+        for c in divs:
+            IB = c
+            if 16 * c * PP <= 5 * 2**20:
+                break
+    R = CB // IB
+    n_steps = -(-n_max // IB)
+    n_pad = n_steps * IB
+    n_ck = -(-n_pad // CB)
+    n_blocks = n_steps  # grid length along the column axis
     if n_pad != n_max:
         pad = jnp.zeros((n_pad - n_max, B), jnp.uint32)
         a0 = jnp.concatenate([a0, pad], 0)
@@ -561,9 +589,9 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
             ent1.reshape(n_pad // Q, B // PP, P8, 128),
         ]
         in_specs += [
-            pl.BlockSpec((CB // Q, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
-            pl.BlockSpec((CB // Q, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
-            pl.BlockSpec((CB // Q, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
+            pl.BlockSpec((IB // Q, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
+            pl.BlockSpec((IB // Q, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
+            pl.BlockSpec((IB // Q, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
         ]
     else:
         shift = shift_at_array(n_max, S, SW, diag)
@@ -574,9 +602,9 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
         # Per column-block profile slabs: only the words *entering* during
         # that block live in VMEM (keeps VMEM O(band), not O(m)).
         lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int32)
-        lo_block = lo[np.arange(n_blocks) * CB]
+        lo_block = lo[np.arange(n_blocks) * IB]
         shifts_per_block = (
-            lo[np.minimum((np.arange(n_blocks) + 1) * CB, n_pad)] - lo_block
+            lo[np.minimum((np.arange(n_blocks) + 1) * IB, n_pad)] - lo_block
         )
         # Rounded up so a stream of buckets with slightly different true
         # diagonals (diag) shares one compiled geometry.
@@ -617,7 +645,7 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
         if win_any
         else pl.BlockSpec((SW, 1, P8, 128), lambda p, k, *s: (0, p, 0, 0))
     )
-    ab_spec = pl.BlockSpec((CB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0))
+    ab_spec = pl.BlockSpec((IB, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0))
     vec_spec = pl.BlockSpec((1, P8, 128), lambda p, k, *s: (p, 0, 0))
 
     out_shapes = [jax.ShapeDtypeStruct((B // PP, P8, 128), jnp.int32)]
@@ -628,19 +656,24 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
             jax.ShapeDtypeStruct((n_pad, SW, B // PP, P8, 128), jnp.uint32),
         ]
         out_specs += [
-            pl.BlockSpec((CB, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)),
-            pl.BlockSpec((CB, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)),
+            pl.BlockSpec((IB, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)),
+            pl.BlockSpec((IB, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)),
         ]
     elif emit == EMIT_CK:
         out_shapes += [
-            jax.ShapeDtypeStruct((n_blocks, SW, B // PP, P8, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((n_blocks, SW, B // PP, P8, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((n_blocks, B // PP, P8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_ck, SW, B // PP, P8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_ck, SW, B // PP, P8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_ck, B // PP, P8, 128), jnp.int32),
         ]
+        # The out block is revisited for R consecutive grid steps (written
+        # only on the first — checkpoint emission), then written back when
+        # k//R advances: standard Pallas revisit semantics.
         out_specs += [
-            pl.BlockSpec((1, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)),
-            pl.BlockSpec((1, SW, 1, P8, 128), lambda p, k, *s: (k, 0, p, 0, 0)),
-            pl.BlockSpec((1, 1, P8, 128), lambda p, k, *s: (k, p, 0, 0)),
+            pl.BlockSpec((1, SW, 1, P8, 128),
+                         lambda p, k, *s: (k // R, 0, p, 0, 0)),
+            pl.BlockSpec((1, SW, 1, P8, 128),
+                         lambda p, k, *s: (k // R, 0, p, 0, 0)),
+            pl.BlockSpec((1, 1, P8, 128), lambda p, k, *s: (k // R, p, 0, 0)),
         ]
 
     # Scratch padded by one group so the grouped shift's +1-offset reads
@@ -663,7 +696,8 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
     out_specs_tree = tuple(out_specs) if len(out_specs) > 1 else out_specs[0]
     if per_pair:
         kernel = functools.partial(
-            _kernel_perpair, SW=SW, CB=CB, emit=emit, win_any=win_any, Q=Q
+            _kernel_perpair, SW=SW, IB=IB, R=R, emit=emit, win_any=win_any,
+            Q=Q,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -676,8 +710,8 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
         call_args = [a0t, a1t, wn0t, wn1t] + inputs + [nt, mt]
     else:
         kernel = functools.partial(
-            _kernel_shared, SW=SW, CB=CB, emit=emit, win_any=win_any,
-            can_shift=SW < S
+            _kernel_shared, SW=SW, IB=IB, R=R, emit=emit, win_any=win_any,
+            can_shift=SW < S,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -716,9 +750,9 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
     res, ckvp, ckvm, cktv = outs
     return (
         res.reshape(B),
-        ckvp.reshape(n_blocks, SW, B),
-        ckvm.reshape(n_blocks, SW, B),
-        cktv.reshape(n_blocks, B),
+        ckvp.reshape(n_ck, SW, B),
+        ckvm.reshape(n_ck, SW, B),
+        cktv.reshape(n_ck, B),
     )
 
 

@@ -72,8 +72,8 @@ class BatchAligner:
     domain_k: int = 12
     domain_r: int = 2
     max_f_rounds: int = 10
-    # Checkpoint interval (columns) for the ck/trace path; None = an
-    # auto policy (max(2048, band); 4096 beyond 16kbp).  The device->host
+    # Checkpoint interval (columns) for the ck/trace path; None =
+    # max(4096, band).  The device->host
     # checkpoint readback shrinks ~1/CB while the native DT-burst trace is
     # ~flat in CB (x-drop live-window bursts; see native trace prof) until
     # very long segments start paying pruned-burst retries.
@@ -145,10 +145,14 @@ class BatchAligner:
         if self.ck_col_block:
             base = self.ck_col_block
         else:
-            base = max(2048 if n_max <= 16384 else 4096, sw)
+            base = max(4096, sw)
         # sw+8: the striped ck kernel's 8-aligned capture windows need
         # CB >= SW + 8 (the other ck kernels accept any CB >= SW).
-        return min(max(base, sw + 8), max(n_max, 1))
+        # Rounded to a multiple of 512 (unless clamped by n_max) so the
+        # sliding ck kernel can stream inputs at a small divisor block
+        # while emitting checkpoints every CB columns.
+        cb = max(base, -(-(sw + 8) // 512) * 512)
+        return min(cb, max(n_max, 1))
 
     def cost(self, pairs) -> np.ndarray:
         costs, _ = self.cost_with_stats(pairs)
@@ -1376,13 +1380,22 @@ def _select_pp(B: int, sw: int, max_pp: int = 4096, cb: int = 0) -> int:
     ``cb``: checkpoint column-block of the ck kernel, whose per-grid-step
     input slab (two uint32 char planes of CB columns x PP pairs, DOUBLE-
     buffered by the Pallas pipeline -> 16 bytes/column/pair) also lives in
-    VMEM — without this term, raising CB past ~1024 at PP>=512 blows the
-    16MB scoped limit at compile time (measured: CB=2048 PP=512 = 17.3M)."""
+    VMEM.  Inputs stream at an IB block (a divisor of CB picked inside
+    _banded_call), so the slab term is IB-sized, not CB — except when CB
+    is not divisible by 512 (n_max-clamped small buckets), where the
+    whole CB block is the slab.  Without any slab term, CB=2048 at
+    PP=512 measured 17.3M against the 16M scoped limit."""
     per_word = 17 if sw > 256 else 24
+    ib_est = 512 if cb % 512 == 0 else cb
     for cand in (4096, 2048, 1024, 512, 256, 128):
         if cand > max_pp:
             continue
-        need = (per_word * sw + 16 * cb) * cand
+        # Mirror _banded_call: IB shrinks (to >=128) while the slab
+        # would not fit at this PP.
+        slab = ib_est
+        while slab > 128 and slab % 2 == 0 and 16 * slab * cand > 5 * 2**20:
+            slab //= 2
+        need = (per_word * sw + 16 * slab) * cand
         if cand <= B and B % cand == 0 and need < 11 * 2**20:
             return cand
     return 0
