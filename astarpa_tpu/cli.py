@@ -58,6 +58,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-dt", action="store_true", help="A* over Pos states (no DT)")
     p.add_argument("--params-json", help="full AlignerParams as JSON (overrides flags)")
     p.add_argument("--band-words", type=int, default=8, help="batch runtime band")
+    p.add_argument(
+        "--chunk", type=int, default=0,
+        help="batch aligner: stream pairs in chunks of this size through "
+        "the pipelined align_iter (chunk k traces while k+1 runs on "
+        "device); 0 = one align() call",
+    )
     # Generated input (pa-generate DatasetGenerator equivalent).
     p.add_argument("--length", "-n", type=int, help="length of generated sequences")
     p.add_argument("--error-rate", "-e", type=float, default=0.05)
@@ -139,6 +145,17 @@ def main(argv=None) -> int:
                 costs, bstats = ba.cost_with_stats(pairs)
                 for c in costs:
                     out.write(f"{c},\n")
+            elif args.chunk:
+                bstats = BatchStatsProxy(pairs)
+                chunks = (
+                    pairs[i:i + args.chunk]
+                    for i in range(0, len(pairs), args.chunk)
+                )
+                for res, st in ba.align_iter(chunks):
+                    bstats.buckets += st.buckets
+                    bstats.band_retries += st.band_retries
+                    for cost, cigar in res:
+                        out.write(f"{cost},{cigar.to_string()}\n")
             else:
                 bstats = BatchStatsProxy(pairs)
                 for cost, cigar in ba.align(pairs):
