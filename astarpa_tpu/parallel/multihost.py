@@ -76,24 +76,36 @@ class MultiHostRunner:
         t0 = time.perf_counter()
         out = open(out_path, "w") if out_path else None
         stats = BatchStats()
+
+        def _acc(cstats):
+            stats.pairs += cstats.pairs
+            stats.buckets += cstats.buckets
+            stats.band_retries += cstats.band_retries
+            stats.cells_computed += cstats.cells_computed
+            stats.aligned_bp += cstats.aligned_bp
+
         try:
-            for lo in range(0, len(local), self.batch_size):
-                chunk = local[lo : lo + self.batch_size]
-                if with_cigars:
-                    results, cstats = self.aligner.align_with_stats(chunk)
+            if with_cigars:
+                # Pipelined: batch k's traces + checkpoint transfers drain
+                # while batch k+1 packs/dispatches (align_iter); output
+                # lines stream per batch.
+                chunks = (
+                    local[lo : lo + self.batch_size]
+                    for lo in range(0, len(local), self.batch_size)
+                )
+                for results, cstats in self.aligner.align_iter(chunks):
                     for cost, cigar in results:
                         if out:
                             out.write(f"{cost},{cigar.to_string()}\n")
-                else:
+                    _acc(cstats)
+            else:
+                for lo in range(0, len(local), self.batch_size):
+                    chunk = local[lo : lo + self.batch_size]
                     costs, cstats = self.aligner.cost_with_stats(chunk)
                     if out:
                         for c in costs:
                             out.write(f"{c},\n")
-                stats.pairs += cstats.pairs
-                stats.buckets += cstats.buckets
-                stats.band_retries += cstats.band_retries
-                stats.cells_computed += cstats.cells_computed
-                stats.aligned_bp += cstats.aligned_bp
+                    _acc(cstats)
         finally:
             if out:
                 out.close()
