@@ -509,6 +509,23 @@ def _default_col_block(SW: int, PP: int, n_max: int, emit: int,
     return min(cb, max(n_max, 1))
 
 
+def pick_input_block(CB: int, PP: int, Q: int | None = None) -> int:
+    """Input-block size for the checkpointing kernel: the largest divisor
+    of CB from (512, 256, 128, 64, 32) whose double-buffered char slab
+    (16 bytes/column/pair) fits a ~5MB budget; the smallest divisor when
+    none fits; CB itself when CB has no such divisor.  ONE definition —
+    `parallel.runner._select_pp` prices VMEM with this same function, so
+    the model can never approve a geometry the kernel won't build."""
+    divs = [c for c in (512, 256, 128, 64, 32)
+            if CB % c == 0 and (Q is None or c % Q == 0)]
+    ib = CB
+    for c in divs:
+        ib = c
+        if 16 * c * PP <= 5 * 2**20:
+            break
+    return ib
+
+
 def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
                  pairs_per_program, interpret, emit, schedule, Q=32,
                  diag=None):
@@ -536,14 +553,9 @@ def _banded_call(a0, a1, pb0, pb1, n, m, band_words, col_block,
     # slab (16 bytes/column/pair double-buffered) stays bounded while the
     # checkpoint interval CB — which sets the readback volume — can grow
     # freely; emission is gated on entering every R-th input block.
-    IB = CB
-    if emit == EMIT_CK:
-        divs = [c for c in (512, 256, 128, 64, 32)
-                if CB % c == 0 and (not per_pair or c % Q == 0)]
-        for c in divs:
-            IB = c
-            if 16 * c * PP <= 5 * 2**20:
-                break
+    IB = pick_input_block(CB, PP, Q if per_pair else None) if (
+        emit == EMIT_CK
+    ) else CB
     R = CB // IB
     n_steps = -(-n_max // IB)
     n_pad = n_steps * IB

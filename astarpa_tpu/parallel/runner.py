@@ -84,8 +84,9 @@ class BatchAligner:
     # recompile for every batch's slightly different max-m (see
     # ops.pallas_myers.pack_batch_staggered shape_quantum).
     shape_quantum: object = "auto"
-    # Warm-start band hints: bucket-class -> band that certified the last
-    # bucket of that class.  In a stream of similar batches the ladder then
+    # Warm-start band hints: bucket-class -> the tightest band the last
+    # bucket of that class NEEDED (band_for_cost of its certified costs).
+    # In a stream of similar batches the ladder then
     # starts AT the certifying rung (no probe rung, no extra device sync);
     # distribution drift is caught by the normal certificate + rung
     # prediction.  Purely a starting point — never affects exactness.
@@ -102,9 +103,23 @@ class BatchAligner:
             ncls += 1
         return ncls
 
-    def _start_band(self, bucket_pairs) -> int:
-        hint = self._band_hints.get(self._bucket_class(bucket_pairs), 0)
-        return max(self.band_words, hint)
+    @staticmethod
+    def _note_need(need_max: int, costs, slots, n, m, B0: int, diag) -> int:
+        """Running max of the TIGHT band the certified pairs actually
+        needed (band_for_cost inverse) — what the warm-start hint records.
+        Recording the rung band instead would ratchet: one outlier batch
+        would inflate the start band for its whole class forever, since a
+        too-high start always certifies and re-records itself."""
+        if not slots:
+            return need_max
+        from ..ops import banded
+
+        sel = np.asarray(slots)
+        need = banded.band_for_cost(
+            np.asarray(costs)[sel], np.asarray(n)[:B0][sel],
+            np.asarray(m)[:B0][sel], *diag,
+        )
+        return max(need_max, int(need.max()) + 1)
 
     def _shape_quantum(self, bucket_pairs) -> int | None:
         if self.shape_quantum != "auto":
@@ -190,7 +205,8 @@ class BatchAligner:
         from ..ops.pallas_myers import pack_batch_staggered
 
         cls = self._bucket_class([pairs[i] for i in idxs])
-        band = self._start_band([pairs[i] for i in idxs])
+        band = max(self.band_words, self._band_hints.get(cls, 0))
+        need_max = 1
         pending = idxs
         attempt = 0
         packed = None  # (args, B0, members): reused across rungs while the
@@ -231,17 +247,21 @@ class BatchAligner:
             pending_set = set(pending)
             nxt = []
             fail_slots = []
+            ok_slots = []
             for slot, i in enumerate(members):
                 if i not in pending_set:
                     continue
                 if ok[slot]:
                     out[i] = int(costs[slot])
+                    ok_slots.append(slot)
                 else:
                     nxt.append(i)
                     fail_slots.append(slot)
+            need_max = self._note_need(need_max, costs, ok_slots, n, m, B0,
+                                       diag)
             pending = nxt
             if not pending:
-                self._band_hints[cls] = sw
+                self._band_hints[cls] = need_max
                 return
             assert sw < S, "full-height window must certify every pair"
             stats.band_retries += 1
@@ -804,7 +824,8 @@ class BatchAligner:
         from ..ops.pallas_myers import pack_batch_staggered
 
         cls = self._bucket_class([pairs[i] for i in idxs])
-        band = self._start_band([pairs[i] for i in idxs])
+        band = max(self.band_words, self._band_hints.get(cls, 0))
+        need_max = 1
         pending = idxs
         attempt = 0
         # Caller-owned job list = traces drain after ALL buckets dispatch;
@@ -913,9 +934,11 @@ class BatchAligner:
                             shift=shift, s_words=S, sw=sw, cb=CB,
                             want=int(costs[slot]),
                         ))
+                need_max = self._note_need(need_max, costs, sel, n, m, B0,
+                                           diag)
                 pending = next_pending
                 if not pending:
-                    self._band_hints[cls] = sw
+                    self._band_hints[cls] = need_max
                     return
                 assert sw < S, "full-height window must certify every pair"
                 stats.band_retries += 1
@@ -1057,7 +1080,10 @@ class BatchAligner:
                 tv[:, job.pos], job.shift, job.sw, job.cb,
                 known_cost=job.want,
             )
-            assert cost == job.want, (cost, job.want)
+            # cost == want by construction under known_cost; exactness is
+            # carried by the per-segment landing checks against the
+            # checkpoint planes (a wrong cost fails them -> the wrapper
+            # asserts on the negative return) and by cigar.verify in tests.
             return job.pair, cost, cigar
 
         groups: dict[int, list] = {}
@@ -1386,15 +1412,12 @@ def _select_pp(B: int, sw: int, max_pp: int = 4096, cb: int = 0) -> int:
     whole CB block is the slab.  Without any slab term, CB=2048 at
     PP=512 measured 17.3M against the 16M scoped limit."""
     per_word = 17 if sw > 256 else 24
-    ib_est = 512 if cb % 512 == 0 else cb
+    if cb:
+        from ..ops.pallas_banded import pick_input_block
     for cand in (4096, 2048, 1024, 512, 256, 128):
         if cand > max_pp:
             continue
-        # Mirror _banded_call: IB shrinks (to >=128) while the slab
-        # would not fit at this PP.
-        slab = ib_est
-        while slab > 128 and slab % 2 == 0 and 16 * slab * cand > 5 * 2**20:
-            slab //= 2
+        slab = pick_input_block(cb, cand) if cb else 0
         need = (per_word * sw + 16 * slab) * cand
         if cand <= B and B % cand == 0 and need < 11 * 2**20:
             return cand

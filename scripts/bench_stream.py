@@ -48,10 +48,15 @@ for (a, b), (c, cig) in zip(batches[-1][:4], outs[-1][:4]):
     assert cig.verify(a, b) == c
 
 per = np.diff(marks)
-steady = per[1:].mean() if len(per) > 1 else per[0]
-print(f"batches: {['%.0fms' % (d * 1e3) for d in per]}")
+# Steady state: exclude the ramp-in first yield (one extra dispatch) and
+# the drain-only last yield (no overlapped dispatch — systematically
+# cheap, it would overstate throughput).
+steady = per[1:-1].mean() if len(per) > 2 else per.mean()
+print(f"batches: {['%.0fms' % (d * 1e3) for d in per]}", flush=True)
 print(
     f"steady-state: {steady*1e3:.0f} ms/batch  {steady/B*1e3:.3f} ms/pair  "
-    f"{B*N/steady/1e9:.4f} Gbp/s cost+CIGAR"
+    f"{B*N/steady/1e9:.4f} Gbp/s cost+CIGAR",
+    flush=True,
 )
-print(f"whole stream: {NB*B*N/total/1e9:.4f} Gbp/s over {NB} batches")
+print(f"whole stream: {NB*B*N/total/1e9:.4f} Gbp/s over {NB} batches",
+      flush=True)
