@@ -119,7 +119,19 @@ class BatchAligner:
             np.asarray(costs)[sel], np.asarray(n)[:B0][sel],
             np.asarray(m)[:B0][sel], *diag,
         )
-        return max(need_max, int(need.max()) + 1)
+        # Quantize to the ladder's rung grid (pow2 to 64, then multiples
+        # of 64): a raw need drifts a few words between batches, and a
+        # drifting start band would be a NEW kernel geometry (multi-second
+        # recompile) per batch.
+        b = int(need.max()) + 1
+        if b <= 64:
+            p = 4
+            while p < b:
+                p *= 2
+            b = p
+        else:
+            b = -(-b // 64) * 64
+        return max(need_max, b)
 
     def _shape_quantum(self, bucket_pairs) -> int | None:
         if self.shape_quantum != "auto":
