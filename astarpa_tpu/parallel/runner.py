@@ -12,6 +12,32 @@ it with ``NamedSharding``; each pair's DP state stays on one device; the
 only collectives are the result gather and ``psum``-style stat merges that
 XLA inserts at readout.  No TP/PP analog exists — the unit of work is one
 pair (SURVEY.md §2.6).
+
+Kernel routing policy (one table; the code lives in ``_local_cost`` /
+``_ck_kernel`` / ``_mesh_ck_kind`` / ``_domain_kernel``, the constants
+below ``LAST_KERNEL``):
+
+===========================  =================================================
+geometry                     kernel
+===========================  =================================================
+band < 640 words, PP >= 512  sliding pairs-tile (`ops/pallas_banded`) — batch
+                             amortization wins at small bands
+band in [640, 2240] words    pinned words-on-sublanes (`ops/pinned`) — flat
+(or any band >= 64 when      throughput in band height; VMEM residency guard
+PP < 512)                    with TB auto-shrink 1024->512->256, sliding on
+                             overflow
+band > 2240 words, or the    striped HBM boundary-carry (`ops/striped`) — no
+sliding/pinned VMEM models   band ceiling (full-height exact DP); ck under the
+fail (ck: PP < 128)          8-aligned-top plane contract
+per-pair (domain) schedules  same ladder with per-pair modes: sliding per-pair
+                             below 512 words, pinned-pp above (event streams),
+                             jnp fallback off-TPU
+off-TPU / no 128-lane tile   bit-identical jnp references (`ops/banded`)
+===========================  =================================================
+
+Checkpoint (CIGAR) dispatch follows the same table with ck-emitting
+variants; under a mesh every shard runs the selected kernel via
+``shard_map`` (pinned/striped in traced-safe static-window mode).
 """
 
 from __future__ import annotations
