@@ -181,6 +181,37 @@ def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, ck_tv,
     return cost, cigar
 
 
+# The backward DT burst's layer budget (astarpa_native.cpp::try_burst
+# hard cap, 1 << 11): a whole-pair direct trace is only attempted for
+# certified costs at most this, else the burst would fail into a full
+# O(n*SW) stripe recompute.
+DIRECT_DT_MAX = 2048
+
+
+def trace_direct(a: bytes, b: bytes, s_words: int, shift_at,
+                 band_words: int, known_cost: int):
+    """CIGAR from the certified cost alone — no device checkpoints.
+
+    Runs :func:`trace_banded_ck` with a single synthesized checkpoint at
+    column 0 (the all-ones Myers init, whose values are exact:
+    value(0, j) = j) and a checkpoint interval spanning the whole pair,
+    so ONE backward DT burst recovers the full path.  Valid whenever
+    ``known_cost <= DIRECT_DT_MAX``.  Exactness is unchanged: the cost
+    is certified by the banded kernel, the burst landing is checked
+    against the exact column-0 values, and a pruned burst retries
+    unpruned before the banded stripe-recompute fallback (which uses
+    ``shift_at``/``band_words``, the certifying rung's schedule).
+    """
+    import numpy as np
+
+    assert 0 <= known_cost <= DIRECT_DT_MAX, known_cost
+    vp = np.full((1, band_words), 0xFFFFFFFF, np.uint32)
+    vm = np.zeros((1, band_words), np.uint32)
+    tv = np.zeros(1, np.int32)
+    return trace_banded_ck(a, b, s_words, vp, vm, tv, shift_at, band_words,
+                           col_block=max(len(a), 1), known_cost=known_cost)
+
+
 def gcsh_domain(a: bytes, b: bytes, f_max: int, k: int = 12, r: int = 1,
                 step: int = 64):
     """Sampled fwd+rev GCSH domain hull (see astarpa_tpu.domain)."""

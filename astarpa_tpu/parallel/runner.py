@@ -52,6 +52,10 @@ from ..ops.bitpack import W, n_words
 
 INF = 1 << 30
 
+# Certified-cost ceiling for direct whole-pair DT traces — must not exceed
+# the native burst budget (native.DIRECT_DT_MAX; trace_direct asserts).
+_DIRECT_DT_MAX = 2048
+
 
 @dataclass
 class BatchStats:
@@ -60,6 +64,9 @@ class BatchStats:
     band_retries: int = 0
     cells_computed: int = 0
     aligned_bp: int = 0
+    # Pairs whose CIGAR came from the direct whole-pair DT trace (no
+    # checkpoint kernel, no checkpoint readback).
+    direct_traces: int = 0
 
 
 @dataclass
@@ -104,6 +111,14 @@ class BatchAligner:
     # ~flat in CB (x-drop live-window bursts; see native trace prof) until
     # very long segments start paying pruned-burst retries.
     ck_col_block: int | None = None
+    # Direct whole-pair DT traces: when a rung's certification threshold
+    # fits the native backward-burst budget (native.DIRECT_DT_MAX), the
+    # rung runs the plain COST kernel and certified pairs are traced
+    # host-side from the certified cost alone — zero checkpoint planes on
+    # the device->host link (its ~7MB/s + ~150ms/transfer is the dominant
+    # steady-state term for small/medium pairs).  Purely a dispatch
+    # choice; exactness is carried by the same certificates either way.
+    direct_dt: bool = True
     # Padded-geometry quantum for packing ("auto": none below 4kbp, 512 to
     # 32kbp, 2048 above).  A stream of same-shaped batches then reuses ONE
     # compiled kernel geometry instead of paying a multi-second Mosaic
@@ -892,30 +907,56 @@ class BatchAligner:
                 if sw > 64:
                     sw = min(-(-sw // 8) * 8, S)
                 ndev = 1 if self.mesh is None else self.mesh.devices.size
-                # DT bursts make long checkpoint intervals cheap, and the
-                # device->host readback shrinks with 1/CB.
-                CB = self._cb(sw, n_max)
-                pp = _select_pp(a0.shape[1] // ndev, sw, max_pp=1024, cb=CB)
-                if pp < 128:
-                    if self.mesh is None:
-                        big_ok = self._striped_ck_ok(sw, a0.shape[1])
-                    else:
-                        big_ok = self._mesh_ck_kind(
-                            sw, n_max, S, a0.shape[1], CB, pp, diag
-                        ) != "sliding"
-                    if not big_ok:
-                        # Band too tall for every ck kernel (sliding VMEM
-                        # model fails and no big-band layout can serve):
-                        # finish the remaining pairs on the cost ladder +
-                        # trace fallback.
-                        self._flush_traces(trace_jobs, pairs, results)
-                        sub = np.full(len(pairs), -1, dtype=np.int64)
-                        self._run_bucket(pairs, pending, sub, stats)
-                        self._trace_bucket(pairs, pending, sub, results)
-                        return
-                got, ckvp, ckvm, cktv = self._ck_kernel(
-                    a0, a1, pb0, pb1, n, m, sw, CB, pp, diag
-                )
+                thr = None
+                if sw < S:
+                    thr = banded.band_threshold(
+                        sw, np.asarray(n)[:B0], np.asarray(m)[:B0], *diag
+                    )
+                # Direct-DT rung: every pair certifying at this rung has
+                # cost <= thr <= the native backward-burst budget, so the
+                # host trace recovers its whole path from the certified
+                # cost alone (one DT burst landing on the exact column-0
+                # values).  The rung then runs the plain COST kernel and
+                # zero checkpoint bytes cross the device->host link.
+                # Full-height rungs (thr None) are exact, so n+m bounds
+                # their certified costs.
+                if thr is not None:
+                    direct_cap = int(thr.max())
+                else:
+                    direct_cap = int(
+                        np.asarray(n)[:B0].max() + np.asarray(m)[:B0].max()
+                    )
+                direct = self.direct_dt and direct_cap <= _DIRECT_DT_MAX
+                if direct:
+                    got = self._kernel(a0, a1, pb0, pb1, n, m, sw, S, diag)
+                    CB = 0
+                else:
+                    # DT bursts make long checkpoint intervals cheap, and
+                    # the device->host readback shrinks with 1/CB.
+                    CB = self._cb(sw, n_max)
+                    pp = _select_pp(
+                        a0.shape[1] // ndev, sw, max_pp=1024, cb=CB
+                    )
+                    if pp < 128:
+                        if self.mesh is None:
+                            big_ok = self._striped_ck_ok(sw, a0.shape[1])
+                        else:
+                            big_ok = self._mesh_ck_kind(
+                                sw, n_max, S, a0.shape[1], CB, pp, diag
+                            ) != "sliding"
+                        if not big_ok:
+                            # Band too tall for every ck kernel (sliding
+                            # VMEM model fails and no big-band layout can
+                            # serve): finish the remaining pairs on the
+                            # cost ladder + trace fallback.
+                            self._flush_traces(trace_jobs, pairs, results)
+                            sub = np.full(len(pairs), -1, dtype=np.int64)
+                            self._run_bucket(pairs, pending, sub, stats)
+                            self._trace_bucket(pairs, pending, sub, results)
+                            return
+                    got, ckvp, ckvm, cktv = self._ck_kernel(
+                        a0, a1, pb0, pb1, n, m, sw, CB, pp, diag
+                    )
                 stats.cells_computed += n_max * sw * W * len(members)
                 # Optimistic readback: start streaming every member lane's
                 # checkpoints BEFORE the certification sync — the transfers
@@ -923,25 +964,23 @@ class BatchAligner:
                 # predicted rung certifies everything) needs them all.  A
                 # failed rung wastes at most _OPT_READBACK_BYTES of link.
                 lanes = len(members)
-                per_lane = 4 * (
-                    int(ckvp.size) + int(ckvm.size) + int(cktv.size)
-                ) // max(1, int(ckvp.shape[2]))
                 opt_chunks = None
-                if per_lane * lanes <= _OPT_READBACK_BYTES:
-                    # Queue the (tiny) cost vector's copy FIRST so
-                    # certification isn't stuck behind megabytes of
-                    # checkpoint bytes on the link.
-                    copy = getattr(got, "copy_to_host_async", None)
-                    if copy is not None:
-                        copy()
-                    opt_chunks = _stage_ck_chunks(ckvp, ckvm, cktv, lanes)
+                if not direct:
+                    per_lane = 4 * (
+                        int(ckvp.size) + int(ckvm.size) + int(cktv.size)
+                    ) // max(1, int(ckvp.shape[2]))
+                    if per_lane * lanes <= _OPT_READBACK_BYTES:
+                        # Queue the (tiny) cost vector's copy FIRST so
+                        # certification isn't stuck behind megabytes of
+                        # checkpoint bytes on the link.
+                        copy = getattr(got, "copy_to_host_async", None)
+                        if copy is not None:
+                            copy()
+                        opt_chunks = _stage_ck_chunks(ckvp, ckvm, cktv, lanes)
                 costs = np.asarray(got)[:B0]
                 if sw >= S:
                     ok = np.ones(B0, dtype=bool)
                 else:
-                    thr = banded.band_threshold(
-                        sw, np.asarray(n)[:B0], np.asarray(m)[:B0], *diag
-                    )
                     ok = costs <= thr
                 pending_set = set(pending)
                 sel = [slot for slot, i in enumerate(members)
@@ -949,7 +988,16 @@ class BatchAligner:
                 fail_slots = [slot for slot, i in enumerate(members)
                               if i in pending_set and not ok[slot]]
                 next_pending = [members[slot] for slot in fail_slots]
-                if sel:
+                if sel and direct:
+                    shift = banded.shift_at_array(n_max, S, sw, diag)
+                    stats.direct_traces += len(sel)
+                    for slot in sel:
+                        trace_jobs.append(_TraceJob(
+                            pair=members[slot], slices=None, pos=0,
+                            shift=shift, s_words=S, sw=sw, cb=0,
+                            want=int(costs[slot]),
+                        ))
+                elif sel:
                     # Defer the traces until the whole ladder has dispatched;
                     # the staged chunk copies stream behind the thread-pooled
                     # traces at flush time.  When the optimistic copies were
@@ -1124,6 +1172,15 @@ class BatchAligner:
             # asserts on the negative return) and by cigar.verify in tests.
             return job.pair, cost, cigar
 
+        def run_direct(job: "_TraceJob"):
+            # Whole-pair DT trace from the certified cost: pure host work,
+            # no device buffers to wait on.
+            a, b = pairs[job.pair]
+            cost, cigar = native.trace_direct(
+                a, b, job.s_words, job.shift, job.sw, known_cost=job.want
+            )
+            return job.pair, cost, cigar
+
         groups: dict[int, list] = {}
         order: list[int] = []
         for job in trace_jobs:
@@ -1136,6 +1193,10 @@ class BatchAligner:
         with ThreadPoolExecutor(workers) as ex:
             for key in order:
                 jobs = groups[key]
+                if jobs[0].slices is None:
+                    for job in jobs:
+                        futures.append(ex.submit(run_direct, job))
+                    continue
                 vp_d, vm_d, tv_d = jobs[0].slices
                 vp = np.asarray(vp_d)
                 vm = np.asarray(vm_d)
@@ -1288,10 +1349,12 @@ from dataclasses import dataclass as _dc
 @_dc
 class _TraceJob:
     """One deferred checkpoint trace: pair index + its column in a staged
-    readback chunk (whose device->host copy is already in flight)."""
+    readback chunk (whose device->host copy is already in flight).
+    ``slices is None`` marks a *direct* whole-pair DT trace (no device
+    checkpoints at all; traced from the certified cost ``want``)."""
 
     pair: int
-    slices: tuple  # (ckvp, ckvm, cktv) device arrays of ONE staged chunk
+    slices: tuple | None  # (ckvp, ckvm, cktv) device arrays of ONE chunk
     pos: int       # this pair's column within the chunk
     shift: np.ndarray
     s_words: int

@@ -117,7 +117,8 @@ def test_batch_aligner_mesh_bigband_ck(monkeypatch):
         for k, v in patch.items():
             monkeypatch.setattr(rmod, k, v)
         ba = BatchAligner(band_words=8, lane_multiple=128, mesh=mesh,
-                          pallas_interpret=True, domain_mode="off")
+                          pallas_interpret=True, domain_mode="off",
+                          direct_dt=False)
         res = ba.align(pairs)
         assert rmod.LAST_KERNEL == want_kind
         for (a, b), (c, cig) in zip(pairs, res):
@@ -252,7 +253,9 @@ def test_batch_aligner_cigars():
 
 def test_align_combined_ck_interpret():
     """The TPU combined cost+CIGAR ladder (checkpointing Pallas kernel +
-    native DT-burst traces) end-to-end in interpret mode on CPU."""
+    native DT-burst traces) end-to-end in interpret mode on CPU.
+    direct_dt=False pins the checkpoint path — with it on, these small
+    pairs would take the direct whole-pair DT trace instead."""
     from astarpa_tpu import native
 
     if not native.available():
@@ -262,8 +265,34 @@ def test_align_combined_ck_interpret():
         for s in range(24)
     ]
     ba = BatchAligner(band_words=4, lane_multiple=128, pallas_interpret=True,
+                      domain_mode="off", direct_dt=False)
+    results, stats = ba.align_with_stats(pairs)
+    assert stats.direct_traces == 0
+    for (a, b), (cost, cigar) in zip(pairs, results):
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
+def test_align_direct_dt_interpret():
+    """Direct whole-pair DT traces: rungs whose certification threshold
+    fits the native burst budget run the plain cost kernel and trace each
+    certified pair from its certified cost alone — no checkpoint planes
+    leave the device.  Mixed error rates + models, oracle-exact."""
+    from astarpa_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    pairs = [
+        generate.generate_model(
+            120 + (s * 53) % 300, [0.0, 0.05, 0.25][s % 3],
+            list(generate.ErrorModel)[s % 4], 70 + s,
+        )
+        for s in range(24)
+    ] + [(b"ACGT" * 30, b"")]  # trivial pair stays off-device
+    ba = BatchAligner(band_words=4, lane_multiple=128, pallas_interpret=True,
                       domain_mode="off")
     results, stats = ba.align_with_stats(pairs)
+    assert stats.direct_traces == 24  # every nontrivial pair went direct
     for (a, b), (cost, cigar) in zip(pairs, results):
         assert cost == oracle.levenshtein(a, b)
         assert cigar.verify(a, b) == cost
@@ -303,7 +332,7 @@ def test_align_bucket_ck_pp0_fallback(monkeypatch):
         pytest.skip("no native toolchain")
     pairs = _mixed_pairs(77, count=5)
     ba = BatchAligner(band_words=4, lane_multiple=128, pallas_interpret=True,
-                      domain_mode="off")
+                      domain_mode="off", direct_dt=False)
     monkeypatch.setattr(runner_mod, "_select_pp", lambda *a, **k: 0)
     results = ba.align(pairs)
     for (a, b), (cost, cigar) in zip(pairs, results):
@@ -329,7 +358,8 @@ def test_batch_aligner_mesh_ck_cigars():
         for s in range(48)
     ]
     ba = BatchAligner(band_words=4, lane_multiple=128, mesh=mesh,
-                      pallas_interpret=True, domain_mode="off")
+                      pallas_interpret=True, domain_mode="off",
+                      direct_dt=False)
     runner_mod.LAST_KERNEL = None
     results = ba.align(pairs)
     assert runner_mod.LAST_KERNEL == "pallas-ck-sharded"

@@ -118,3 +118,32 @@ def test_aligner_params_native_plumbing():
             aligner="astarpa-native",
             heuristic=HeuristicParams(heuristic=HeuristicType.SH),
         ).build()
+
+
+def test_native_trace_direct():
+    """Whole-pair direct DT trace: CIGAR from the certified cost alone (a
+    single synthesized column-0 checkpoint; no device planes)."""
+    import numpy as np
+
+    from astarpa_tpu import native
+    from astarpa_tpu.ops import banded
+
+    for s, (n_bp, e) in enumerate([(800, 0.05), (3000, 0.1), (500, 0.3),
+                                   (2000, 0.0), (64, 0.5)]):
+        a, b = generate.uniform_seeded(n_bp, e, 7000 + s)
+        d = oracle.levenshtein(a, b)
+        S = max(1, -(-len(b) // 32))
+        n_max = len(a)
+        diag = (n_max, S * 32)
+        sw = 8
+        while sw < S:
+            thr = banded.band_threshold(
+                sw, np.array([len(a)]), np.array([len(b)]), *diag)
+            if d <= int(thr[0]):
+                break
+            sw *= 2
+        sw = min(sw, S)
+        shift = banded.shift_at_array(n_max, S, sw, diag)
+        cost, cig = native.trace_direct(a, b, S, shift, sw, known_cost=d)
+        assert cost == d
+        assert cig.verify(a, b) == d
