@@ -212,6 +212,73 @@ def trace_direct(a: bytes, b: bytes, s_words: int, shift_at,
                            col_block=max(len(a), 1), known_cost=known_cost)
 
 
+def trace_direct_batch(pairs, s_words: int, shift_at, band_words: int,
+                       costs, n_threads: int | None = None):
+    """Batched :func:`trace_direct`: ONE native call traces every pair of
+    ``pairs`` (list of ``(a, b)`` byte pairs) from its certified cost in
+    ``costs``, multi-threaded inside C++ with the GIL released for the
+    whole batch — the per-pair ctypes/numpy wrapper overhead (which rivals
+    the trace itself at 10kbp) is paid once.  All pairs must share one
+    rung schedule (``shift_at``/``band_words``).  Returns
+    ``[(cost, Cigar), ...]`` in order.
+    """
+    import os
+
+    import numpy as np
+
+    lib = load()
+    if not hasattr(lib, "_direct_batch_proto_set"):
+        lib.trace_direct_batch.restype = ctypes.c_int
+        lib.trace_direct_batch.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib._direct_batch_proto_set = True
+    np_ = len(pairs)
+    a_off = np.zeros(np_ + 1, np.int32)
+    b_off = np.zeros(np_ + 1, np.int32)
+    for i, (a, b) in enumerate(pairs):
+        a_off[i + 1] = a_off[i] + len(a)
+        b_off[i + 1] = b_off[i] + len(b)
+    a_buf = b"".join(a for a, _ in pairs)
+    b_buf = b"".join(b for _, b in pairs)
+    cost_arr = np.ascontiguousarray(costs, dtype=np.int32)
+    assert cost_arr.shape == (np_,)
+    assert int(cost_arr.max(initial=0)) <= DIRECT_DT_MAX
+    sh = np.ascontiguousarray(shift_at, dtype=np.int32)
+    cigars = (ctypes.c_char_p * np_)()
+    rcs = np.zeros(np_, np.int32)
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    rc = lib.trace_direct_batch(
+        a_buf, a_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b_buf, b_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np_, s_words,
+        sh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), band_words,
+        cost_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(n_threads),
+        cigars, rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    assert rc == 0, f"batched direct trace failed: rcs={rcs[rcs < 0]}"
+    # c_char_p indexing yields a bytes COPY; free the malloc'd originals
+    # through the raw pointer view of the same array.
+    raw = ctypes.cast(cigars, ctypes.POINTER(ctypes.c_void_p))
+    out = []
+    for i in range(np_):
+        val = cigars[i]
+        cig = Cigar.from_string_lazy(val.decode()) if val else Cigar()
+        if raw[i]:
+            lib.astarpa_free(
+                ctypes.cast(ctypes.c_void_p(raw[i]), ctypes.c_char_p)
+            )
+        out.append((int(rcs[i]), cig))
+    return out
+
+
 def gcsh_domain(a: bytes, b: bytes, f_max: int, k: int = 12, r: int = 1,
                 step: int = 64):
     """Sampled fwd+rev GCSH domain hull (see astarpa_tpu.domain)."""

@@ -1172,30 +1172,33 @@ class BatchAligner:
             # asserts on the negative return) and by cigar.verify in tests.
             return job.pair, cost, cigar
 
-        def run_direct(job: "_TraceJob"):
-            # Whole-pair DT trace from the certified cost: pure host work,
-            # no device buffers to wait on.
-            a, b = pairs[job.pair]
-            cost, cigar = native.trace_direct(
-                a, b, job.s_words, job.shift, job.sw, known_cost=job.want
+        def run_direct(jobs: list):
+            # Whole-pair DT traces from the certified costs: pure host
+            # work, ONE multi-threaded native call for the whole rung
+            # group (the jobs share a rung schedule by construction).
+            res = native.trace_direct_batch(
+                [pairs[j.pair] for j in jobs], jobs[0].s_words,
+                jobs[0].shift, jobs[0].sw, [j.want for j in jobs],
             )
-            return job.pair, cost, cigar
+            return [(j.pair, c, cig) for j, (c, cig) in zip(jobs, res)]
 
         groups: dict[int, list] = {}
         order: list[int] = []
         for job in trace_jobs:
-            key = id(job.slices)
+            # Direct jobs group per rung (shared schedule); checkpoint
+            # jobs per staged chunk.
+            key = id(job.shift) if job.slices is None else id(job.slices)
             if key not in groups:
                 order.append(key)
             groups.setdefault(key, []).append(job)
         workers = max(1, min(len(trace_jobs), os.cpu_count() or 1))
         futures = []
+        direct_futs = []
         with ThreadPoolExecutor(workers) as ex:
             for key in order:
                 jobs = groups[key]
                 if jobs[0].slices is None:
-                    for job in jobs:
-                        futures.append(ex.submit(run_direct, job))
+                    direct_futs.append(ex.submit(run_direct, jobs))
                     continue
                 vp_d, vm_d, tv_d = jobs[0].slices
                 vp = np.asarray(vp_d)
@@ -1203,6 +1206,9 @@ class BatchAligner:
                 tv = np.asarray(tv_d)
                 for job in jobs:
                     futures.append(ex.submit(run, job, vp, vm, tv))
+            for f in direct_futs:
+                for i, cost, cigar in f.result():
+                    results[i] = (cost, cigar)
             for f in futures:
                 i, cost, cigar = f.result()
                 results[i] = (cost, cigar)

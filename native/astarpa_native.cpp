@@ -28,6 +28,8 @@
 #include <unordered_map>
 #include <algorithm>
 #include <cassert>
+#include <atomic>
+#include <thread>
 
 #if defined(__AVX512BW__)
 #include <immintrin.h>
@@ -1481,6 +1483,7 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
   double prof_t0 = kProf ? now_ns() : 0, prof_init = 0, prof_burst = 0,
          prof_step = 0, prof_cig = 0;
   i32 prof_bursts = 0, prof_fails = 0;
+  i64 prof_w = 0, prof_layers = 0;
 
   BandedRecompute rc;
   rc.init(a, n, b, m, S, SW, shift_at);
@@ -1618,12 +1621,16 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
   i32 g = known_cost >= 0 ? known_cost : dval(n, m);
   i32 total = g;
   std::string rev;
-  // DT layer arena shared across bursts: layer gl occupies entries
-  // [gl*gl, gl*gl + 2*gl] (sum of (2l+1) for l < gl is gl*gl), grown on
-  // demand — per-layer vector allocations were a measurable slice of the
-  // trace at 10kbp.  Stale entries are never read: every prev-layer probe
-  // is bounds-checked against a layer the current burst wrote completely.
-  std::vector<i32> raw_fl, ext_fl, pe_pad, cand_lo, cand_hi;
+  // DT layer arena shared across bursts, COMPACT layout: layer gl stores
+  // only its written window [cand_lo[gl], cand_hi[gl]] at offset off[gl]
+  // (prefix sum of window widths).  With the x-drop keeping live windows
+  // ~10 diagonals wide, a whole burst stays O(g * width) ints — the old
+  // gl*gl full-width layout touched O(g^2) fresh pages, which (page
+  // faults + zeroing, not the DP math) dominated long bursts: a d=834
+  // whole-pair burst cost 11ms laid out full-width vs ~0.3ms compact.
+  // Stale entries are never read: every prev-layer probe is bounds-
+  // checked against that layer's written cand range.
+  std::vector<i32> raw_fl, ext_fl, pe_pad, cand_lo, cand_hi, off;
 
   // Backward DT burst from (iu, ju) (banded value Du) to checkpoint column
   // c0: grow farthest-back-reaching layers X[g][D] (D = j - i diagonal,
@@ -1709,50 +1716,53 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
     // were the dominant cost, not the extensions.
     cand_lo.assign(1, D0);
     cand_hi.assign(1, D0);
+    off.assign(1, 0);
     i32 plo = D0, phi = D0;
     for (i32 gl = 0; gl <= hard_cap && found_g < 0; gl++) {
-      size_t need = size_t(gl + 1) * size_t(gl + 1);
+      i32 clo = std::max(D0 - gl, plo - 1), chi = std::min(D0 + gl, phi + 1);
+      if (kProf) { prof_w += chi - clo + 1; prof_layers++; }
+      if (gl >= i32(cand_lo.size())) {
+        off.push_back(off.back() + (cand_hi.back() - cand_lo.back() + 1));
+        cand_lo.push_back(clo);
+        cand_hi.push_back(chi);
+      }
+      size_t need = size_t(off[gl]) + size_t(chi - clo + 1);
       if (raw_fl.size() < need) {
         size_t cap = std::max(need, raw_fl.size() * 2);
         raw_fl.resize(cap);
         ext_fl.resize(cap);
       }
-      i32* rawg = raw_fl.data() + size_t(gl) * gl;
-      i32* extg = ext_fl.data() + size_t(gl) * gl;
-      i32 clo = std::max(D0 - gl, plo - 1), chi = std::min(D0 + gl, phi + 1);
-      if (gl >= i32(cand_lo.size())) {
-        cand_lo.push_back(clo);
-        cand_hi.push_back(chi);
-      }
+      i32* rawg = raw_fl.data() + off[gl];
+      i32* extg = ext_fl.data() + off[gl];
       // Pass 1 — raw positions for the live window, as a branch-free
       // min-chain over a kNoI-padded copy of the previous layer's window
       // (the compiler vectorizes this; kNoI saturates through the -1).
       if (gl == 0) {
         rawg[0] = iu;
       } else {
-        const i32* prev = ext_fl.data() + size_t(gl - 1) * (gl - 1);
+        const i32* prev = ext_fl.data() + off[gl - 1];
         i32 width = chi - clo + 1;
         pe_pad.assign(width + 2, kNoI);
         // pe_pad[t] = prev ext at D = clo - 1 + t (kNoI outside prev's
         // written range).
         for (i32 D = std::max(plo, clo - 1); D <= std::min(phi, chi + 1);
              D++)
-          pe_pad[D - (clo - 1)] = prev[D - D0 + gl - 1];
+          pe_pad[D - (clo - 1)] = prev[D - cand_lo[gl - 1]];
         const i32* pp = pe_pad.data();
         for (i32 t = 0; t < width; t++) {
           // sub/del sources sit one column back (-1); ins keeps x.
           i32 r = std::min(std::min(pp[t + 1], pp[t]) - 1, pp[t + 2]);
           i32 D = clo + t;
           if (r >= kNoI - 1 || r < 0 || r + D < 0) r = kNoI;
-          rawg[D - D0 + gl] = r;
+          rawg[t] = r;
         }
       }
       // Pass 2 — greedy extension + landing check per live state.
       i32 best = kNoI;
       for (i32 D = clo; D <= chi; D++) {
-        i32 r = rawg[D - D0 + gl];
+        i32 r = rawg[D - clo];
         i32 e = extend_back(r, D);
-        extg[D - D0 + gl] = e;
+        extg[D - clo] = e;
         if (e < best) best = e;
         if (e != kNoI && e <= c0 && c0 <= r) {
           i32 jv = c0 + D;
@@ -1769,7 +1779,7 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
       i32 lim = drop == kNoI ? kNoI : best + drop;
       i32 nlo = kNoI, nhi = -1;
       for (i32 D = clo; D <= chi; D++) {
-        i32& e = extg[D - D0 + gl];
+        i32& e = extg[D - clo];
         if (e != kNoI && e > lim) e = kNoI;
         if (e != kNoI) {
           if (nlo == kNoI) nlo = D;
@@ -1790,14 +1800,16 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
     i32 x = c0, D = found_D;
     bool ok = true;
     for (i32 gl = found_g; ok && gl > 0; gl--) {
-      i32 r = raw_fl[size_t(gl) * gl + (D - D0 + gl)];
+      if (D < cand_lo[gl] || D > cand_hi[gl]) {
+        ok = false;
+        break;
+      }
+      i32 r = raw_fl[size_t(off[gl]) + (D - cand_lo[gl])];
       fwd.append(r - x, '=');
       x = r;
       auto pe = [&](i32 Dp) -> i32 {
-        i32 idx = Dp - D0 + (gl - 1);
-        if (idx < 0 || idx > 2 * (gl - 1)) return kNoI;
         if (Dp < cand_lo[gl - 1] || Dp > cand_hi[gl - 1]) return kNoI;
-        return ext_fl[size_t(gl - 1) * (gl - 1) + idx];
+        return ext_fl[size_t(off[gl - 1]) + (Dp - cand_lo[gl - 1])];
       };
       if (pe(D) != kNoI && pe(D) - 1 == x) {
         fwd += 'X';
@@ -1891,9 +1903,11 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
   if (kProf) {
     prof_cig = now_ns() - prof_t0;
     fprintf(stderr,
-            "[trace prof] n=%d init=%.0fus burst=%.0fus (%d calls, %d fail) "
-            "step=%.0fus cig=%.0fus\n",
+            "[trace prof] n=%d init=%.0fus burst=%.0fus (%d calls, %d fail, "
+            "%lld layers, avg width %.1f) step=%.0fus cig=%.0fus\n",
             n, prof_init / 1e3, prof_burst / 1e3, prof_bursts, prof_fails,
+            (long long)prof_layers,
+            prof_layers ? double(prof_w) / prof_layers : 0.0,
             prof_step / 1e3, prof_cig / 1e3);
   }
   return total;
@@ -1907,6 +1921,53 @@ extern "C" int trace_banded_ck(const uint8_t* a, int n, const uint8_t* b,
                                int CB, int use_dt, char** cigar_out) {
   return trace_banded_ck_rows(a, n, b, m, S, ck_vp, ck_vm, ck_tv, n_ck_dev,
                               shift_at, SW, CB, use_dt, SW, -1, cigar_out);
+}
+
+// Batched direct whole-pair traces: one call traces n_pairs independent
+// pairs from their certified costs alone (no device checkpoints — each
+// worker synthesizes the all-ones column-0 plane and spans the pair with
+// one checkpoint interval).  Pairs live concatenated in a_buf/b_buf with
+// exclusive prefix offsets (a_off/b_off of length n_pairs + 1); shift_at
+// is the rung's shared bucket schedule.  Work is spread over n_threads
+// std::threads (pairs are independent; the Python caller holds no GIL for
+// the whole batch).  Per-pair CIGARs are malloc'd into cigars_out (free
+// each with astarpa_free); rc_out[p] gets the traced cost, or a negative
+// trace_banded_ck_rows error code.  Returns 0 when every pair succeeded.
+extern "C" int trace_direct_batch(const uint8_t* a_buf, const int32_t* a_off,
+                                  const uint8_t* b_buf, const int32_t* b_off,
+                                  int n_pairs, int S,
+                                  const int32_t* shift_at, int SW,
+                                  const int32_t* costs, int n_threads,
+                                  char** cigars_out, int32_t* rc_out) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n_pairs) n_threads = n_pairs;
+  std::atomic<int> next(0);
+  std::atomic<int> bad(0);
+  auto worker = [&] {
+    std::vector<u32> vp(SW, 0xFFFFFFFFu), vm(SW, 0);
+    i32 tv0 = 0;
+    for (;;) {
+      int p = next.fetch_add(1);
+      if (p >= n_pairs) return;
+      int n = a_off[p + 1] - a_off[p];
+      int m = b_off[p + 1] - b_off[p];
+      int rc = trace_banded_ck_rows(
+          a_buf + a_off[p], n, b_buf + b_off[p], m, S, vp.data(), vm.data(),
+          &tv0, 1, shift_at, SW, n > 0 ? n : 1, 1, SW, costs[p],
+          &cigars_out[p]);
+      rc_out[p] = rc;
+      if (rc < 0) bad.fetch_add(1);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    ts.reserve(n_threads);
+    for (int t = 0; t < n_threads; t++) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  return bad.load() ? -1 : 0;
 }
 
 // Traceback through stored banded-DP window planes (one pair).
