@@ -182,10 +182,11 @@ def trace_banded_ck(a: bytes, b: bytes, s_words: int, ck_vp, ck_vm, ck_tv,
 
 
 # The backward DT burst's layer budget (astarpa_native.cpp::try_burst
-# hard cap, 1 << 11): a whole-pair direct trace is only attempted for
+# hard cap, 1 << 14): a whole-pair direct trace is only attempted for
 # certified costs at most this, else the burst would fail into a full
-# O(n*SW) stripe recompute.
-DIRECT_DT_MAX = 2048
+# O(n*SW) stripe recompute.  Covers one-burst 100kbp e=10% traces
+# (d ~ 8500); the compact layer arena keeps memory at O(d * window).
+DIRECT_DT_MAX = 1 << 14
 
 
 def trace_direct(a: bytes, b: bytes, s_words: int, shift_at,

@@ -54,7 +54,7 @@ INF = 1 << 30
 
 # Certified-cost ceiling for direct whole-pair DT traces — must not exceed
 # the native burst budget (native.DIRECT_DT_MAX; trace_direct asserts).
-_DIRECT_DT_MAX = 2048
+_DIRECT_DT_MAX = 1 << 14
 
 
 @dataclass

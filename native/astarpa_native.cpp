@@ -1648,9 +1648,11 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
   }();
   auto try_burst = [&](i32& iu, i32& ju, i32& Du, i32 c0) -> bool {
     i32 D0 = ju - iu;
-    // Budget: local edits within this stripe, capped so layer memory stays
-    // bounded; escalation is geometric from a cheap start.
-    i32 hard_cap = std::min({Du, 2 * (iu - c0) + 256, 1 << 11});
+    // Budget: local edits within this stripe.  The compact arena stores
+    // O(g * window) ints, so the cap is about bounding worst-case retry
+    // time, not memory; 1<<14 lets a whole 100kbp e=10% pair (d ~ 8500)
+    // trace as ONE direct burst.
+    i32 hard_cap = std::min({Du, 2 * (iu - c0) + 256, 1 << 14});
     // Word-level prefix values along the landing column: O(SW) to build,
     // one masked popcount per candidate check (candidate landings are
     // rare, so a full 32*SW bit-level prefix would be wasted work).
@@ -1705,8 +1707,11 @@ extern "C" int trace_banded_ck_rows(const uint8_t* a, int n, const uint8_t* b,
     // intervals cheap: readback shrinks 1/CB while the burst stays flat).
     // Exactness is preserved: a landing is accepted only when the
     // checkpoint column's value matches, and a pruned burst that misses
-    // the optimal path retries unpruned before the stepwise fallback.
-    for (i32 drop : {kXDrop, kNoI}) {
+    // the optimal path retries with a geometrically wider drop before
+    // going unpruned (the middle rung keeps a miss at large g from
+    // costing a full O(g^2) layer sweep) and finally the stepwise
+    // fallback.
+    for (i32 drop : {kXDrop, 8 * kXDrop, kNoI}) {
     i32 found_g = -1, found_D = 0;
     // Live diagonal window [plo, phi] (D-space) of the previous layer;
     // cand_lo/hi record each layer's WRITTEN range so reconstruction
