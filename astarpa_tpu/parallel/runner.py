@@ -514,8 +514,20 @@ class BatchAligner:
                     sw = -(-sw // 64) * 64
                 sw = min(sw, S)
                 ck_mode = results is not None
+                # Direct round: every pair this round certifies at cost
+                # <= f[slot] <= the burst budget, so CIGARs come from
+                # direct whole-pair DT traces (per-pair schedules only
+                # matter for the trace's recompute fallback) and the
+                # round runs the per-pair COST kernel — no checkpoint
+                # planes, no ck-kernel VMEM constraints.
+                direct_rnd = (
+                    ck_mode
+                    and self.direct_dt
+                    and int(max(f[slot] for slot in pending)) <= _DIRECT_DT_MAX
+                )
                 if sw >= S or (
                     ck_mode
+                    and not direct_rnd
                     and _select_pp(B // ndev, sw, max_pp=1024,
                                    cb=self._cb(sw, n_max)) < 128
                 ):
@@ -535,9 +547,9 @@ class BatchAligner:
                     sched_arr[: len(fill), idle] = fill[:, None]
                 got = self._domain_kernel(
                     a0, a1, pb0, pb1, n, m, sw, sched_arr, quantum,
-                    want_ck=results is not None,
+                    want_ck=results is not None and not direct_rnd,
                 )
-                if results is None:
+                if results is None or direct_rnd:
                     costs = np.asarray(got)[:B0]
                 else:
                     costs_dev, ckvp, ckvm, cktv = got
@@ -547,7 +559,15 @@ class BatchAligner:
                     slot for slot in pending
                     if costs[slot] <= f[slot] and costs[slot] < INF // 2
                 ]
-                if done and results is not None:
+                if done and results is not None and direct_rnd:
+                    stats.direct_traces += len(done)
+                    for slot in done:
+                        sc = np.ascontiguousarray(scheds[slot].sched, np.int32)
+                        trace_jobs.append(_TraceJob(
+                            pair=idxs[slot], slices=None, pos=0, shift=sc,
+                            s_words=S, sw=sw, cb=0, want=int(costs[slot]),
+                        ))
+                elif done and results is not None:
                     sel = np.asarray(done)
                     # Device-side gather of the certified pairs' checkpoints;
                     # the staged async copies stream while later f-rounds and

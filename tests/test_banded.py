@@ -314,8 +314,33 @@ def test_align_domain_ladder_ck_interpret():
         for s in range(6)
     ]
     ba = BatchAligner(band_words=4, lane_multiple=128, pallas_interpret=True,
+                      domain_mode="gap", domain_min_bp=0, direct_dt=False)
+    results, stats = ba.align_with_stats(pairs)
+    assert stats.direct_traces == 0
+    for (a, b), (cost, cigar) in zip(pairs, results):
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
+def test_align_domain_ladder_direct_interpret():
+    """Domain-ladder rounds whose f fits the burst budget run the per-pair
+    COST kernel and trace each certified pair directly from its certified
+    cost (per-pair schedule only used by the trace's recompute fallback)."""
+    from astarpa_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    pairs = [
+        generate.generate_model(
+            500 + 67 * s, [0.05, 0.15][s % 2],
+            list(generate.ErrorModel)[s % 4], 950 + s,
+        )
+        for s in range(6)
+    ]
+    ba = BatchAligner(band_words=4, lane_multiple=128, pallas_interpret=True,
                       domain_mode="gap", domain_min_bp=0)
     results, stats = ba.align_with_stats(pairs)
+    assert stats.direct_traces > 0
     for (a, b), (cost, cigar) in zip(pairs, results):
         assert cost == oracle.levenshtein(a, b)
         assert cigar.verify(a, b) == cost
@@ -388,7 +413,7 @@ def test_batch_aligner_mesh_domain_ladder_ck():
     ]
     ba = BatchAligner(band_words=4, lane_multiple=128, mesh=mesh,
                       pallas_interpret=True, domain_mode="gap",
-                      domain_min_bp=0)
+                      domain_min_bp=0, direct_dt=False)
     runner_mod.LAST_KERNEL = None
     results = ba.align(pairs)
     assert runner_mod.LAST_KERNEL in (
