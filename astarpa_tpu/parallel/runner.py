@@ -1237,8 +1237,42 @@ class BatchAligner:
     def _trace_bucket(self, pairs, idxs, costs, results) -> None:
         from .. import native
         from ..ops import banded
-        from ..ops.bitpack import W
+        from ..ops.bitpack import W, n_words
         from ..ops.pallas_myers import pack_batch_staggered
+
+        # Known-cost pairs within the burst budget trace directly — no
+        # pack, no kernel, no checkpoint readback; just a certifying
+        # schedule for the trace's recompute fallback.
+        if self.direct_dt and native.available():
+            direct_idx = [i for i in idxs if costs[i] <= _DIRECT_DT_MAX]
+            if direct_idx:
+                ns = np.array([len(pairs[i][0]) for i in direct_idx],
+                              np.int32)
+                ms = np.array([len(pairs[i][1]) for i in direct_idx],
+                              np.int32)
+                n_max = max(8, int(ns.max()))
+                S = max(1, n_words(int(ms.max())))
+                diag = self._diag(ns, ms, len(direct_idx), n_max, S)
+                want = np.asarray([costs[i] for i in direct_idx])
+                sw = min(self.band_words, S)
+                while sw < S:
+                    thr = banded.band_threshold(sw, ns, ms, *diag)
+                    if (want <= thr).all():
+                        break
+                    sw *= 2
+                sw = min(sw, S)
+                if sw > 64:
+                    sw = min(-(-sw // 8) * 8, S)
+                shift = banded.shift_at_array(n_max, S, sw, diag)
+                jobs = [
+                    _TraceJob(pair=i, slices=None, pos=0, shift=shift,
+                              s_words=S, sw=sw, cb=0, want=int(costs[i]))
+                    for i in direct_idx
+                ]
+                self._flush_traces(jobs, pairs, results)
+                idxs = [i for i in idxs if costs[i] > _DIRECT_DT_MAX]
+                if not idxs:
+                    return
 
         bucket_pairs = [pairs[i] for i in idxs]
         args, B0 = pack_batch_staggered(

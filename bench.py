@@ -239,9 +239,10 @@ def main() -> None:
             "cost_cigar_ms_per_pair": round(align_dt / cig_batch * 1e3, 3),
             "cost_cigar_batch": cig_batch,
             "cost_cigar_note": (
-                "steady-state pipelined align_iter (batch k traces/readback "
-                "overlap batch k+1 pack/dispatch): pack + ck-kernel ladder + "
-                "staged checkpoint readback + native x-drop DT-burst trace; "
+                "steady-state pipelined align_iter (batch k traces overlap "
+                "batch k+1 pack/dispatch): pack + cost-kernel ladder + "
+                "batched direct whole-pair DT traces from the certified "
+                "costs (zero checkpoint readback at this cost scale); "
                 "host side is 1 core behind a ~7MB/s device->host tunnel"
             ),
             **c5,

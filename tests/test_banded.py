@@ -251,6 +251,16 @@ def test_batch_aligner_cigars():
         assert cigar.verify(a, b) == cost
 
 
+def test_batch_aligner_cigars_fill_trace():
+    """direct_dt=False keeps the jnp banded_fill + native.trace_banded
+    fallback covered (with it on, known-cost CPU traces go direct)."""
+    pairs = _mixed_pairs(40, count=6)
+    ba = BatchAligner(band_words=8, lane_multiple=8, direct_dt=False)
+    for (a, b), (cost, cigar) in zip(pairs, ba.align(pairs)):
+        assert cost == oracle.levenshtein(a, b)
+        assert cigar.verify(a, b) == cost
+
+
 def test_align_combined_ck_interpret():
     """The TPU combined cost+CIGAR ladder (checkpointing Pallas kernel +
     native DT-burst traces) end-to-end in interpret mode on CPU.
