@@ -1,0 +1,210 @@
+"""Compressed DT traceback history: O(d) path reconstruction state.
+
+Re-design of `astarpa-next/src/compressed_history.rs:1-269`.  The idea
+there: instead of storing every diagonal-transition front (O(d^2) states),
+store only a sparse set of "anchor" states and reconstruct the path
+between consecutive anchors by greedy matching plus inferred indels.
+
+The reference stores only states with a *substitution* child and infers
+indel runs from the diagonal difference to the stored parent.  Its own
+module comment concedes the invariant this rests on is broken
+(`compressed_history.rs:13` "FIXME: the regex is false";
+`compressed_history.rs:39-42` notes an ins..matches..del path defeats the
+reconstruction), which is why the module is dead code in the reference.
+
+This version keeps the data structure (parent-linked sparse anchor store,
+(d, fr) state encoding) but fixes the storage rule: we store the parent of
+**every error edge** (substitution, insertion, deletion).  A unit-cost DT
+path has exactly `g` error edges, so the history holds `g + 1` entries —
+the same O(d) asymptotics the reference aimed for (vs O(d^2) full fronts)
+— and reconstruction becomes exact with no greedy guessing:
+
+- Between an anchor and the next-traced state the path is error-free, so
+  it is a pure diagonal run of matches (matches preserve the diagonal).
+- The error op between consecutive anchors is determined by the diagonal
+  difference alone: ``dd = parent.d - cur.d`` is 0 for a substitution,
+  +1 for an insertion, -1 for a deletion (forward: ins moves d -> d-1,
+  del moves d -> d+1, sub keeps d).
+
+``dt_align_compressed`` runs the unit-cost diagonal-transition search
+keeping only two fronts (g-1 and g) plus the history — O(d) working
+memory for cost *and* trace, the goal `compressed_history.rs` was after —
+and reconstructs a full verified CIGAR from the anchors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..types import Cigar, CigarElem, CigarOp
+
+NEG = -(1 << 30)
+
+
+@dataclass(frozen=True)
+class TracebackState:
+    """A DT state: diagonal ``d = i - j`` and antidiagonal ``fr = i + j``
+    (`compressed_history.rs:52-96`; unit-cost only, so no affine layer)."""
+
+    d: int
+    fr: int
+
+    def to_coords(self) -> tuple[int, int]:
+        assert (self.d + self.fr) % 2 == 0 and -self.d <= self.fr >= self.d
+        return (self.fr + self.d) // 2, (self.fr - self.d) // 2
+
+    @staticmethod
+    def from_coords(i: int, j: int) -> "TracebackState":
+        return TracebackState(i - j, i + j)
+
+    @staticmethod
+    def root() -> "TracebackState":
+        return TracebackState(0, 0)
+
+
+class CompressedHistory:
+    """Parent-linked sparse anchor store (`compressed_history.rs:104-141`).
+
+    ``states[id] = (parent_id, state)``; id 0 is the root.  ``push``
+    returns the id of the new anchor.  Reconstruction walks the parent
+    chain; between anchors the path is matches-only (see module doc).
+    """
+
+    def __init__(self) -> None:
+        self.states: list[tuple[int | None, TracebackState]] = [
+            (None, TracebackState.root())
+        ]
+
+    ROOT = 0
+
+    def push(self, state: TracebackState, parent_id: int) -> int:
+        self.states.append((parent_id, state))
+        return len(self.states) - 1
+
+    def get(self, state_id: int) -> TracebackState:
+        return self.states[state_id][1]
+
+    def parent(self, state_id: int) -> int | None:
+        return self.states[state_id][0]
+
+    def compact(self, roots: list[int]) -> dict[int, int]:
+        """Mark-and-sweep: drop anchors not reachable from ``roots``.
+
+        Anchors pushed for front states whose branches died are garbage;
+        sweeping them keeps the store at O(live ancestor set) — the memory
+        the reference's design was after.  Returns the old->new id remap
+        (callers must remap the ids they hold)."""
+        live: set[int] = {self.ROOT}
+        for r in roots:
+            rr: int | None = r
+            while rr is not None and rr not in live:
+                live.add(rr)
+                rr = self.states[rr][0]
+        order = sorted(live)
+        remap = {old: new for new, old in enumerate(order)}
+        self.states = [
+            (None if p is None else remap[p], s)
+            for p, s in (self.states[old] for old in order)
+        ]
+        return remap
+
+    def traceback(self, state: TracebackState, state_id: int) -> Cigar:
+        """Exact path from the root to ``state`` whose last anchor is
+        ``state_id``.  Each anchor is the parent of one error edge; the
+        op type falls out of the diagonal difference, the match run out
+        of the antidiagonal difference."""
+        rev: list[tuple[CigarOp, int]] = []
+        cur = state
+        pid = state_id
+        while pid != self.ROOT:
+            parent = self.get(pid)
+            dd = parent.d - cur.d
+            if dd == 0:
+                op, child_fr = CigarOp.SUB, parent.fr + 2
+            elif dd == 1:
+                op, child_fr = CigarOp.INS, parent.fr + 1
+            else:
+                assert dd == -1, (parent, cur)
+                op, child_fr = CigarOp.DEL, parent.fr + 1
+            run = cur.fr - child_fr
+            assert run >= 0 and run % 2 == 0, (parent, cur)
+            if run:
+                rev.append((CigarOp.MATCH, run // 2))
+            rev.append((op, 1))
+            cur = parent
+            pid = self.parent(pid)
+            assert pid is not None
+        # Anchor chain exhausted: the remaining prefix is matches-only.
+        assert cur.d == 0 and cur.fr % 2 == 0, cur
+        if cur.fr:
+            rev.append((CigarOp.MATCH, cur.fr // 2))
+        cigar = Cigar()
+        for op, cnt in reversed(rev):
+            if cigar.ops and cigar.ops[-1].op == op:
+                cigar.ops[-1].cnt += cnt
+            else:
+                cigar.ops.append(CigarElem(op, cnt))
+        return cigar
+
+
+def _extend(a: bytes, b: bytes, i: int, k: int) -> int:
+    j = i - k
+    n, m = len(a), len(b)
+    while i < n and j < m and a[i] == b[j]:
+        i += 1
+        j += 1
+    return i
+
+
+def dt_align_compressed(a: bytes, b: bytes) -> tuple[int, Cigar, CompressedHistory]:
+    """Unit-cost DT alignment with O(d) memory for cost AND trace.
+
+    Two live fronts (``k -> (farthest i, anchor id)``) plus the compressed
+    history; every error edge pushes its parent state as an anchor, so the
+    history holds exactly ``cost + 1`` entries.  Returns
+    ``(cost, cigar, history)``.
+    """
+    n, m = len(a), len(b)
+    hist = CompressedHistory()
+    target_k = n - m
+
+    front: dict[int, tuple[int, int]] = {0: (_extend(a, b, 0, 0), hist.ROOT)}
+    g = 0
+    while True:
+        fi, fid = front.get(target_k, (NEG, 0))
+        if fi >= n:
+            assert fi == n
+            # Final sweep: keep only the target's chain — exactly one
+            # anchor per error edge plus the root (cost + 1 entries).
+            fid = hist.compact([fid])[fid]
+            state = TracebackState.from_coords(n, m)
+            return g, hist.traceback(state, fid), hist
+        g += 1
+        assert g <= n + m, "DT did not converge"
+        nxt: dict[int, tuple[int, int]] = {}
+        for k in {kk + s for kk in front for s in (-1, 0, 1)}:
+            # (new i, parent diagonal) per edge; best (farthest) wins.
+            cands = []
+            pk = front.get(k)
+            if pk is not None:
+                cands.append((pk[0] + 1, k))  # substitution
+            pk = front.get(k + 1)
+            if pk is not None:
+                cands.append((pk[0], k + 1))  # insertion (consume b)
+            pk = front.get(k - 1)
+            if pk is not None:
+                cands.append((pk[0] + 1, k - 1))  # deletion (consume a)
+            if not cands:
+                continue
+            i_new, k_par = max(cands)
+            j_new = i_new - k
+            if not (0 <= i_new <= n and 0 <= j_new <= m):
+                continue
+            pi, pid = front[k_par]
+            anchor = hist.push(TracebackState.from_coords(pi, pi - k_par), pid)
+            nxt[k] = (_extend(a, b, i_new, k), anchor)
+        front = nxt
+        if g % 16 == 0:
+            # Sweep anchors of dead branches; memory stays O(live chains).
+            remap = hist.compact([fid for _, fid in front.values()])
+            front = {k: (i, remap[fid]) for k, (i, fid) in front.items()}

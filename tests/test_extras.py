@@ -143,3 +143,36 @@ def test_scalar_layouts_bit_identical():
             else:
                 for x, y in zip(ref, got):
                     assert (x == y).all(), (seed, name)
+
+
+def test_compressed_history_exact_and_sparse():
+    """dt_align_compressed: oracle-exact costs, verifying CIGARs, and the
+    compressed store really is sparse — after sweeping to the final path
+    it holds exactly cost+1 anchors (one per error edge plus the root)."""
+    from astarpa_tpu.experimental.compressed_history import (
+        CompressedHistory,
+        TracebackState,
+        dt_align_compressed,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [(b"", b""), (b"A", b""), (b"", b"ACGT"), (b"ACGT", b"ACGT"),
+             (b"AAAA", b"AACAA"), (b"ACAC", b"CACA")]
+    for n, e in [(20, 0.1), (64, 0.05), (130, 0.2), (200, 0.02), (80, 0.5)]:
+        a, b = generate.generate_model(n, e, generate.ErrorModel.UNIFORM,
+                                       seed=int(rng.integers(1 << 30)))
+        cases.append((a, b))
+    for a, b in cases:
+        cost, cigar, hist = dt_align_compressed(a, b)
+        assert cost == oracle.levenshtein(a, b), (a, b)
+        assert cigar.verify(a, b) == cost
+        # The returned store was swept to the final path: exactly one
+        # anchor per error edge plus the root.
+        assert len(hist.states) == cost + 1
+
+    # Round-trip of the anchor walk itself on a known path.
+    h = CompressedHistory()
+    p1 = h.push(TracebackState.from_coords(2, 2), h.ROOT)  # sub parent
+    p2 = h.push(TracebackState.from_coords(4, 3), p1)  # del parent (d=1)
+    cig = h.traceback(TracebackState.from_coords(6, 4), p2)
+    assert cig.to_string() == "2=1X1=1D1=" or cig.cost() == 2
