@@ -7,7 +7,7 @@ shrinks the failing input (halving from both ends, dropping chars) and
 prints a minimal reproducer.
 
 Usage:
-    python scripts/fuzz.py [--aligner astarpa|astarpa2-simple|astarpa2-full|native|batch] [--iters N]
+    python scripts/fuzz.py [--aligner astarpa|astarpa2-simple|astarpa2-full|native|batch|batch-ck|batch-domain] [--iters N]
 """
 
 from __future__ import annotations
@@ -73,14 +73,22 @@ def build(name: str):
         from astarpa_tpu.native import astarpa_native
 
         return lambda a, b: astarpa_native(a, b, r=2, k=8)
-    if name == "batch":
-        # The batch runtime's full CIGAR path (certification ladder, ck
-        # kernel in interpret mode off-TPU, staged readback, native
-        # traces) — one pair at a time so shrinking stays meaningful.
+    if name.startswith("batch"):
+        # The batch runtime's full CIGAR path — one pair at a time so
+        # shrinking stays meaningful.  Variants pin each product path:
+        #   batch        direct whole-pair DT traces (the default path)
+        #   batch-ck     checkpoint kernel + staged readback + native
+        #                per-segment traces (direct_dt off)
+        #   batch-domain per-pair gap-domain ladder (found the SW==S crash)
         from astarpa_tpu.parallel.runner import BatchAligner
 
-        ba = BatchAligner(band_words=2, lane_multiple=128,
-                          pallas_interpret=True, domain_mode="off")
+        kw = dict(band_words=2, lane_multiple=128, pallas_interpret=True,
+                  domain_mode="off")
+        if name == "batch-ck":
+            kw["direct_dt"] = False
+        elif name == "batch-domain":
+            kw.update(domain_mode="gap", domain_min_bp=0, direct_dt=False)
+        ba = BatchAligner(**kw)
         return lambda a, b: ba.align([(a, b)])[0]
     from astarpa_tpu.aligners.astarpa2 import AstarPa2Params
 
