@@ -1,4 +1,4 @@
-"""Compressed DT traceback history: O(d) path reconstruction state.
+"""Compressed DT traceback history: sparse anchor-chain path state.
 
 Re-design of `astarpa-next/src/compressed_history.rs:1-269`.  The idea
 there: instead of storing every diagonal-transition front (O(d^2) states),
@@ -15,9 +15,16 @@ reconstruction), which is why the module is dead code in the reference.
 This version keeps the data structure (parent-linked sparse anchor store,
 (d, fr) state encoding) but fixes the storage rule: we store the parent of
 **every error edge** (substitution, insertion, deletion).  A unit-cost DT
-path has exactly `g` error edges, so the history holds `g + 1` entries —
-the same O(d) asymptotics the reference aimed for (vs O(d^2) full fronts)
-— and reconstruction becomes exact with no greedy guessing:
+path has exactly `g` error edges, so the **final swept store** holds
+`g + 1` entries (O(d), tested), and reconstruction becomes exact with no
+greedy guessing.  Honest memory bound: **mid-run working memory is O(live
+ancestor tree)** — the union of the anchor chains of all live front
+diagonals.  For low-divergence inputs chains share long prefixes and this
+is ~O(d); for adversarially dissimilar inputs the chains are disjoint and
+it is Theta(d^2) (measured ~d^2 live anchors for a fully-dissimilar 300bp
+pair), the same asymptotics as full fronts.  A genuinely O(d)-working-set
+scheme would need bidirectional/Hirschberg-style splitting.
+Reconstruction correctness:
 
 - Between an anchor and the next-traced state the path is error-free, so
   it is a pure diagonal run of matches (matches preserve the diagonal).
@@ -27,9 +34,9 @@ the same O(d) asymptotics the reference aimed for (vs O(d^2) full fronts)
   del moves d -> d+1, sub keeps d).
 
 ``dt_align_compressed`` runs the unit-cost diagonal-transition search
-keeping only two fronts (g-1 and g) plus the history — O(d) working
-memory for cost *and* trace, the goal `compressed_history.rs` was after —
-and reconstructs a full verified CIGAR from the anchors.
+keeping only two fronts (g-1 and g) plus the history — O(d) for the
+fronts and the final store, O(live ancestor tree) mid-run as above — and
+reconstructs a full verified CIGAR from the anchors.
 """
 
 from __future__ import annotations
@@ -157,11 +164,13 @@ def _extend(a: bytes, b: bytes, i: int, k: int) -> int:
 
 
 def dt_align_compressed(a: bytes, b: bytes) -> tuple[int, Cigar, CompressedHistory]:
-    """Unit-cost DT alignment with O(d) memory for cost AND trace.
+    """Unit-cost DT alignment with a sparse anchor-chain trace.
 
     Two live fronts (``k -> (farthest i, anchor id)``) plus the compressed
     history; every error edge pushes its parent state as an anchor, so the
-    history holds exactly ``cost + 1`` entries.  Returns
+    **returned** history holds exactly ``cost + 1`` entries.  Mid-run the
+    store holds the live ancestor tree — ~O(d) for similar inputs,
+    Theta(d^2) adversarially (see module doc).  Returns
     ``(cost, cigar, history)``.
     """
     n, m = len(a), len(b)
@@ -194,12 +203,16 @@ def dt_align_compressed(a: bytes, b: bytes) -> tuple[int, Cigar, CompressedHisto
             pk = front.get(k - 1)
             if pk is not None:
                 cands.append((pk[0] + 1, k - 1))  # deletion (consume a)
+            # Filter to in-grid candidates BEFORE taking the max so an
+            # out-of-grid winner cannot shadow a valid runner-up.
+            cands = [
+                (i_new, k_par)
+                for i_new, k_par in cands
+                if 0 <= i_new <= n and 0 <= i_new - k <= m
+            ]
             if not cands:
                 continue
             i_new, k_par = max(cands)
-            j_new = i_new - k
-            if not (0 <= i_new <= n and 0 <= j_new <= m):
-                continue
             pi, pid = front[k_par]
             anchor = hist.push(TracebackState.from_coords(pi, pi - k_par), pid)
             nxt[k] = (_extend(a, b, i_new, k), anchor)

@@ -170,9 +170,12 @@ def test_compressed_history_exact_and_sparse():
         # anchor per error edge plus the root.
         assert len(hist.states) == cost + 1
 
-    # Round-trip of the anchor walk itself on a known path.
+    # Round-trip of the anchor walk itself on a known path.  A sub parent
+    # must sit on the SAME diagonal as its child segment (dd == 0); a del
+    # parent one below (dd == -1).  Chain: 2= then SUB at (2,2)->(3,3),
+    # 1= to (4,4), DEL at (4,4)->(5,4), 1= to (6,5).
     h = CompressedHistory()
-    p1 = h.push(TracebackState.from_coords(2, 2), h.ROOT)  # sub parent
-    p2 = h.push(TracebackState.from_coords(4, 3), p1)  # del parent (d=1)
-    cig = h.traceback(TracebackState.from_coords(6, 4), p2)
-    assert cig.to_string() == "2=1X1=1D1=" or cig.cost() == 2
+    p1 = h.push(TracebackState.from_coords(2, 2), h.ROOT)  # sub parent, d=0
+    p2 = h.push(TracebackState.from_coords(4, 4), p1)  # del parent, d=0
+    cig = h.traceback(TracebackState.from_coords(6, 5), p2)
+    assert cig.to_string() == "2=1X1=1D1="
