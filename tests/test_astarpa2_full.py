@@ -72,6 +72,7 @@ def test_full_grid(name, params):
                 check(params, a, b, f"{name} n={n} e={e} {model}")
 
 
+@pytest.mark.slow
 def test_full_long():
     # Native block backend lifts the practical ceiling well past the old
     # 3kbp (round-1 verdict item): 50kbp in a few seconds.

@@ -94,6 +94,7 @@ def test_batch_aligner_ladder_clamps_to_full_height():
     assert list(costs) == [oracle.levenshtein(a, bytes(b))]
 
 
+@pytest.mark.slow
 def test_batch_aligner_mesh_bigband_ck(monkeypatch):
     """Big-band CIGARs ride the mesh: the sharded ck dispatch picks the
     pinned / striped layouts (traced-safe static-window mode) per shard.
@@ -126,6 +127,7 @@ def test_batch_aligner_mesh_bigband_ck(monkeypatch):
             assert cig.verify(a, b) == c
 
 
+@pytest.mark.slow
 def test_shape_quantum_exactness():
     """Geometry-quantized packing (stream-stable compiled shapes) with the
     sticky diag-true schedule stays oracle-exact on a mixed bucket, for
@@ -283,6 +285,7 @@ def test_align_combined_ck_interpret():
         assert cigar.verify(a, b) == cost
 
 
+@pytest.mark.slow
 def test_align_direct_dt_interpret():
     """Direct whole-pair DT traces: rungs whose certification threshold
     fits the native burst budget run the plain cost kernel and trace each
@@ -332,6 +335,7 @@ def test_align_domain_ladder_ck_interpret():
         assert cigar.verify(a, b) == cost
 
 
+@pytest.mark.slow
 def test_align_domain_ladder_direct_interpret():
     """Domain-ladder rounds whose f fits the burst budget run the per-pair
     COST kernel and trace each certified pair directly from its certified
@@ -356,6 +360,7 @@ def test_align_domain_ladder_direct_interpret():
         assert cigar.verify(a, b) == cost
 
 
+@pytest.mark.slow
 def test_align_bucket_ck_pp0_fallback(monkeypatch):
     """When _select_pp reports the band/batch geometry cannot host the ck
     kernel (pp < 128), the combined path must fall back to the cost ladder
@@ -403,6 +408,7 @@ def test_batch_aligner_mesh_ck_cigars():
         assert cigar.verify(a, b) == cost
 
 
+@pytest.mark.slow
 def test_batch_aligner_mesh_domain_ladder_ck():
     """The per-pair domain ladder also runs under a mesh: schedules shard
     with the pairs; the per-pair checkpointing kernel runs on every shard
@@ -509,6 +515,7 @@ def test_pair_gap_schedule_certified_exact():
     assert accepted_any.all()
 
 
+@pytest.mark.slow
 def test_pallas_perpair_parity_interpret():
     """Pallas per-pair mode is bit-identical to the jnp per-pair reference
     (gap-centered schedules, interpret mode)."""

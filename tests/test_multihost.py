@@ -5,6 +5,7 @@ simulated with explicit (process_index, process_count) and the stats merge
 runs over the 8-virtual-device CPU mesh."""
 
 import numpy as np
+import pytest
 
 from astarpa_tpu import generate, oracle
 from astarpa_tpu.parallel.multihost import (
@@ -76,6 +77,7 @@ def test_runner_with_cigars(tmp_path):
         assert Cigar.from_string(cig).verify(a, b) == int(cost) == oracle.levenshtein(a, b)
 
 
+@pytest.mark.slow
 def test_two_process_distributed_merge(tmp_path):
     """Real jax.distributed: two OS processes on the CPU backend, each
     aligning its stripe and merging stats over the global device mesh."""

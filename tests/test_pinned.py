@@ -133,6 +133,7 @@ def test_pinned_perpair_broadcast_matches_shared():
     assert (pp == sh).all()
 
 
+@pytest.mark.slow
 def test_pinned_ck_matches_sliding_ck():
     """Pinned checkpoint emission is bit-identical to the sliding ck
     kernel on every checkpoint a traceback can read (k*CB <= n_p; past a
@@ -199,6 +200,7 @@ def test_pinned_ck_native_trace():
     assert checked >= 4
 
 
+@pytest.mark.slow
 def test_pinned_pp_ck_matches_sliding_ck():
     """Per-pair pinned checkpoint emission is bit-identical to the sliding
     per-pair ck kernel on every readable checkpoint."""
@@ -231,6 +233,7 @@ def test_pinned_pp_ck_matches_sliding_ck():
         assert (stv[k][live] == ptv[k][live]).all(), k
 
 
+@pytest.mark.slow
 def test_pinned_pp_ck_native_trace():
     """CIGARs from per-pair pinned checkpoints via the native traceback
     with per-pair schedules verify against the oracle."""

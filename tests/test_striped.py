@@ -10,6 +10,7 @@ from astarpa_tpu.ops.pinned import pinned_cost_tpu
 from astarpa_tpu.ops.striped import striped_cost_tpu
 
 
+@pytest.mark.slow
 def test_striped_matches_pinned():
     """Bit-identical to the single-residency pinned kernel across stripe
     geometries (the HBM carry hand-off is exact), including bands taller
@@ -31,6 +32,7 @@ def test_striped_matches_pinned():
         assert (got == pin).all(), (sw, WS, TB)
 
 
+@pytest.mark.slow
 def test_striped_full_height_exact():
     """At band_words >= S the striped kernel is exact full-height DP (no
     certificate needed), even for pairs no banded certificate accepts."""
@@ -51,6 +53,7 @@ def test_striped_full_height_exact():
         assert got[p] == oracle.levenshtein(*pairs[p]), p
 
 
+@pytest.mark.slow
 def test_striped_ck_matches_sliding_ck():
     """Striped checkpoint emission carries the sliding ck kernel's exact
     window planes + top_val under the 8-ALIGNED-TOP layout: striped plane
@@ -90,6 +93,7 @@ def test_striped_ck_matches_sliding_ck():
     assert checked >= 4
 
 
+@pytest.mark.slow
 def test_striped_static_windows_parity():
     """static_windows=True (the traced-safe mesh mode) is bit-identical:
     the scalar capture windows are work-skipping hints only."""
@@ -120,6 +124,7 @@ def test_striped_static_windows_parity():
         assert (d == s).all()
 
 
+@pytest.mark.slow
 def test_striped_ck_native_trace_full_height():
     """Big-band/full-height CIGARs off the striped kernel: the native
     traceback consumes the 8-aligned-top checkpoint planes directly (the
