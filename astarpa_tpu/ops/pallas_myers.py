@@ -183,6 +183,21 @@ def pack_batch_staggered(pairs, lane_multiple: int = 512,
         n_max = n_q
         S = max(S, -(-(n_q * ratio) // (256 * bitpack.W)))
 
+    from .. import native
+
+    if native.available():
+        # Native pack (GIL-released C++): 2-bit codes + b bit planes built
+        # straight from the pair buffers — no (B, n_max) uint8 staging and
+        # ~4x fewer bytes over the ~90MB/s host->device tunnel; the device
+        # just unpacks/transposes (bit-identical to the numpy path,
+        # tests/test_pack.py).
+        a4, pb0pm, pb1pm = native.pack_batch_planes(pairs, B, n_max, S)
+        a0, a1, pb0, pb1 = _unpack_planes(
+            jnp.asarray(a4), jnp.asarray(pb0pm), jnp.asarray(pb1pm),
+            n_max=n_max,
+        )
+        return (a0, a1, pb0, pb1, jnp.asarray(ns), jnp.asarray(ms)), B0
+
     acodes = np.zeros((B, n_max), dtype=np.uint8)
     bcodes = np.full((B, S * bitpack.W), 0xFF, dtype=np.uint8)  # pad char
     for idx, (a, b) in enumerate(pairs):
@@ -192,6 +207,19 @@ def pack_batch_staggered(pairs, lane_multiple: int = 512,
     # uint32 planes, and the transposes are free there).
     a0, a1, pb0, pb1 = _pack_planes(acodes, bcodes, S)
     return (a0, a1, pb0, pb1, jnp.asarray(ns), jnp.asarray(ms)), B0
+
+
+@functools.partial(jax.jit, static_argnames=("n_max",))
+def _unpack_planes(a4, pb0pm, pb1pm, n_max: int):
+    """Device half of the native pack: unpack 4-per-byte a codes into the
+    (n_max, B) sign-mask planes and transpose the pair-major b planes."""
+    B = a4.shape[0]
+    shifts = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+    ac = ((a4[:, :, None] >> shifts) & 3).reshape(B, -1)
+    ac = ac[:, :n_max].astype(jnp.uint32)
+    a0 = (jnp.uint32(0) - (ac & 1)).T
+    a1 = (jnp.uint32(0) - ((ac >> 1) & 1)).T
+    return a0, a1, pb0pm.T, pb1pm.T
 
 
 @functools.partial(jax.jit, static_argnames=("S",))

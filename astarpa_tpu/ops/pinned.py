@@ -116,11 +116,15 @@ def _fits_shared(plan, tb: int) -> bool:
     return 10 * plan["RW"] * 128 * 4 + 4 * tb * 128 * 4 <= 27 * 2 ** 19
 
 
+@functools.lru_cache(maxsize=None)
 def _plan(n_max: int, S: int, SW: int, TB: int, diag=None):
-    """Host-side stagger plan for the bucket schedule.
+    """Host-side stagger plan for the bucket schedule (cached per
+    geometry — the O(n_max) numpy planning repeats identically for every
+    call of a streamed batch shape).
 
     Returns a dict of event bit masks over staggered time, per-block word
-    bases/roll flags, and the residency RW.
+    bases/roll flags, and the residency RW.  Treat the contents as
+    immutable (shared across calls).
     """
     shift = shift_at_array(n_max, S, SW, diag)
     lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int64)  # lo[c] pre-col? ->
@@ -531,87 +535,109 @@ def pinned_cost_tpu(
     assert B % 128 == 0
     ntiles = B // 128
 
-    # Residency is ~SW + TB + D (the initial word burst overlaps steady
-    # entries): when a big band overflows VMEM at the default time block,
-    # retry with smaller blocks before giving up — TB=256 lifts the usable
-    # shared-band ceiling to ~2.2k words.
+    plan, TB = _select_tb(n_max, S, SW, time_block, diag)
+    lims = _shared_lims(plan, n, m, SW, static_windows)
+    return _pinned_cost_entry(n_max, S, SW, TB, ntiles, interpret, diag)(
+        a0, a1, pb0, pb1, n, m, lims
+    )
+
+
+def _select_tb(n_max, S, SW, time_block, diag):
+    """Residency is ~SW + TB + D (the initial word burst overlaps steady
+    entries): when a big band overflows VMEM at the default time block,
+    retry with smaller blocks before giving up — TB=256 lifts the usable
+    shared-band ceiling to ~2.2k words."""
     plan = None
     for TB_try in (time_block, 512, 256):
         if TB_try > time_block:
             continue
         plan = _plan(n_max, S, SW, TB_try, diag)
         if _fits_shared(plan, TB_try):
-            break
-    RW, TB, D, n_tb, T_pad = plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
-    base = plan["base"]
-    if not _fits_shared(plan, TB):
-        raise ValueError(
-            f"pinned residency RW={RW} exceeds VMEM; use the sliding kernel"
-        )
-
-    # Per-pair capture windows t in [n_p - 1 + lo(n_p-1), +SW): gate on
-    # the scalar union range (the in-kernel per-pair masks are exact).
-    lo = plan["lo"]
-    n_j = jnp.asarray(n).astype(jnp.int32)
-    m_j = jnp.asarray(m).astype(jnp.int32)
-    loend_j = jnp.take(
-        jnp.asarray(np.asarray(lo, np.int32)),
-        jnp.clip(n_j - 1, 0, n_max - 1),
+            return plan, TB_try
+    raise ValueError(
+        f"pinned residency RW={plan['RW']} exceeds VMEM; use the sliding kernel"
     )
+
+
+def _shared_lims(plan, n, m, SW, static_windows):
+    """Per-pair capture windows t in [n_p - 1 + lo(n_p-1), +SW): the
+    scalar union range gates the capture work (the in-kernel per-pair
+    masks are exact).  static_windows=True derives no values from n/m
+    (traced-safe)."""
+    T_pad = plan["T_pad"]
     if static_windows:
         cap0, cap1 = 0, int(T_pad)
     else:
+        lo = plan["lo"]
         n_np = np.asarray(n).astype(np.int64)
-        loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
+        loend = lo[np.clip(n_np - 1, 0, len(lo) - 1)]
         cap0 = int((n_np - 1 + loend)[n_np > 0].min(initial=0))
         cap1 = int(
             min((n_np - 1 + loend + SW)[n_np > 0].max(initial=0), T_pad)
         )
-    lims = np.array([plan["last_top"], cap0, cap1, 0], np.int32)
+    return np.array([plan["last_top"], cap0, cap1, 0], np.int32)
 
-    # Whole profile planes padded so every [base_k, base_k + RW) window is
-    # in bounds (pad rows replicate the S-1 clamp, matching the sliding
-    # kernel's entering-word clamp), and whole char-code planes padded so
-    # every block's [k*TB - base_k, +TB) chunk is in bounds.  All prep on
-    # DEVICE (jnp): the packed inputs usually live there already, and a
-    # np.asarray on them is a device->host readback (~7 MB/s through the
-    # tunnel — this dominated the whole call before).
-    S_pad = int(base.max(initial=0)) + RW
-    pb0j = jnp.asarray(pb0)
-    pb1j = jnp.asarray(pb1)
-    if S_pad > S:
-        pb0j = jnp.concatenate(
-            [pb0j, jnp.broadcast_to(pb0j[-1], (S_pad - S, B))], 0
-        )
-        pb1j = jnp.concatenate(
-            [pb1j, jnp.broadcast_to(pb1j[-1], (S_pad - S, B))], 0
-        )
-    code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
-        jnp.uint32
-    )
-    C_pad = T_pad
-    if C_pad > n_max:
-        code = jnp.concatenate(
-            [code, jnp.zeros((C_pad - n_max, B), jnp.uint32)], 0
-        )
 
-    out = _pinned_shared_call(RW, TB, D, SW, ntiles, n_tb, interpret)(
-        jnp.asarray(plan["ent_t"]),
-        jnp.asarray(plan["abs_t"]),
-        jnp.asarray(lims),
-        jnp.asarray(plan["base"]),
-        jnp.asarray(plan["roll"]),
-        jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
-        jnp.moveaxis(pb1j.reshape(S_pad, ntiles, 128), 1, 0),
-        jnp.moveaxis(code.reshape(C_pad, ntiles, 128), 1, 0),
-        n_j.reshape(ntiles, 1, 128),
-        m_j.reshape(ntiles, 1, 128),
-        loend_j.reshape(ntiles, 1, 128),
-    )
-    res = out.reshape(B) + n_j
-    # The band must still cover row m at each pair's final column.
-    covered = (m_j - loend_j * W) <= SW * W
-    return jnp.where(covered, res, INF32)
+@functools.lru_cache(maxsize=None)
+def _pinned_cost_entry(n_max, S, SW, TB, ntiles, interpret, diag):
+    """ONE jitted function per geometry covering prep (profile padding,
+    char-code plane, tile transposes) + the pallas call + the certificate
+    post-pass.  Eagerly dispatching the ~10 prep ops per call cost ~1s of
+    tunnel round-trips at 500kbp batches; fused they are a few device
+    kernels inside one dispatch."""
+    plan = _plan(n_max, S, SW, TB, diag)
+    RW, D, n_tb, T_pad = plan["RW"], plan["D"], plan["n_tb"], plan["T_pad"]
+    B = ntiles * 128
+    S_pad = int(plan["base"].max(initial=0)) + RW
+    lo32 = np.asarray(plan["lo"], np.int32)
+    call = _pinned_shared_call(RW, TB, D, SW, ntiles, n_tb, interpret)
+
+    def fn(a0, a1, pb0, pb1, n, m, lims):
+        n_j = jnp.asarray(n).astype(jnp.int32)
+        m_j = jnp.asarray(m).astype(jnp.int32)
+        loend_j = jnp.take(
+            jnp.asarray(lo32), jnp.clip(n_j - 1, 0, n_max - 1)
+        )
+        # Whole profile planes padded so every [base_k, base_k + RW)
+        # window is in bounds (pad rows replicate the S-1 clamp, matching
+        # the sliding kernel's entering-word clamp), and whole char-code
+        # planes padded so every block's [k*TB - base_k, +TB) chunk is in
+        # bounds.
+        pb0j = jnp.asarray(pb0)
+        pb1j = jnp.asarray(pb1)
+        if S_pad > S:
+            pb0j = jnp.concatenate(
+                [pb0j, jnp.broadcast_to(pb0j[-1], (S_pad - S, B))], 0
+            )
+            pb1j = jnp.concatenate(
+                [pb1j, jnp.broadcast_to(pb1j[-1], (S_pad - S, B))], 0
+            )
+        code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
+            jnp.uint32
+        )
+        if T_pad > n_max:
+            code = jnp.concatenate(
+                [code, jnp.zeros((T_pad - n_max, B), jnp.uint32)], 0
+            )
+        out = call(
+            jnp.asarray(plan["ent_t"]),
+            jnp.asarray(plan["abs_t"]),
+            jnp.asarray(lims),
+            jnp.asarray(plan["base"]),
+            jnp.asarray(plan["roll"]),
+            jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(pb1j.reshape(S_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(code.reshape(T_pad, ntiles, 128), 1, 0),
+            n_j.reshape(ntiles, 1, 128),
+            m_j.reshape(ntiles, 1, 128),
+            loend_j.reshape(ntiles, 1, 128),
+        )
+        res = out.reshape(B) + n_j
+        # The band must still cover row m at each pair's final column.
+        covered = (m_j - loend_j * W) <= SW * W
+        return jnp.where(covered, res, INF32)
+
+    return jax.jit(fn)
 
 
 # --- per-pair schedules ------------------------------------------------------
@@ -1204,41 +1230,25 @@ def pinned_ck_tpu(
     ntiles = B // 128
     CB = col_block if col_block else max(1024, SW)
     CB = min(max(CB, SW), max(n_max, 1))
-    n_ck = n_max // CB + 1
 
-    plan = None
-    for TB_try in (time_block, 512, 256):
-        if TB_try > time_block:
-            continue
-        plan = _plan(n_max, S, SW, TB_try, diag)
-        if _fits_shared(plan, TB_try):
-            break
-    RW, TB, D, n_tb, T_pad = (
-        plan["RW"], plan["TB"], plan["D"], plan["n_tb"], plan["T_pad"]
+    plan, TB = _select_tb(n_max, S, SW, time_block, diag)
+    lims = _shared_lims(plan, n, m, SW, static_windows)
+    return _pinned_ck_entry(n_max, S, SW, TB, CB, ntiles, interpret, diag)(
+        a0, a1, pb0, pb1, n, m, lims
     )
-    base = plan["base"]
-    if not _fits_shared(plan, TB):
-        raise ValueError(
-            f"pinned residency RW={RW} exceeds VMEM; use the sliding kernel"
-        )
 
+
+@functools.lru_cache(maxsize=None)
+def _pinned_ck_entry(n_max, S, SW, TB, CB, ntiles, interpret, diag):
+    """Jitted prep + pallas + checkpoint post-pass per geometry (see
+    :func:`_pinned_cost_entry`)."""
+    plan = _plan(n_max, S, SW, TB, diag)
+    RW, D, n_tb, T_pad = plan["RW"], plan["D"], plan["n_tb"], plan["T_pad"]
+    B = ntiles * 128
+    S_pad = int(plan["base"].max(initial=0)) + RW
     lo = plan["lo"]
-    n_j = jnp.asarray(n).astype(jnp.int32)
-    m_j = jnp.asarray(m).astype(jnp.int32)
-    loend_j = jnp.take(
-        jnp.asarray(np.asarray(lo, np.int32)),
-        jnp.clip(n_j - 1, 0, n_max - 1),
-    )
-    if static_windows:
-        cap0, cap1 = 0, int(T_pad)
-    else:
-        n_np = np.asarray(n).astype(np.int64)
-        loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
-        cap0 = int((n_np - 1 + loend)[n_np > 0].min(initial=0))
-        cap1 = int(
-            min((n_np - 1 + loend + SW)[n_np > 0].max(initial=0), T_pad)
-        )
-    lims = np.array([plan["last_top"], cap0, cap1, 0], np.int32)
+    lo32 = np.asarray(lo, np.int32)
+    n_ck = n_max // CB + 1
 
     # Checkpoint-capture start TIMES, indexed by the checkpoint counter:
     # window k (k >= 1) begins at t = k*CB - 1 + lo[k*CB - 1].
@@ -1248,51 +1258,58 @@ def pinned_ck_tpu(
         ckcol = ck * CB
         ckst[ck] = ckcol - 1 + int(lo[ckcol - 1])
 
-    S_pad = int(base.max(initial=0)) + RW
-    pb0j = jnp.asarray(pb0)
-    pb1j = jnp.asarray(pb1)
-    if S_pad > S:
-        pb0j = jnp.concatenate(
-            [pb0j, jnp.broadcast_to(pb0j[-1], (S_pad - S, B))], 0
-        )
-        pb1j = jnp.concatenate(
-            [pb1j, jnp.broadcast_to(pb1j[-1], (S_pad - S, B))], 0
-        )
-    code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
-        jnp.uint32
-    )
-    if T_pad > n_max:
-        code = jnp.concatenate(
-            [code, jnp.zeros((T_pad - n_max, B), jnp.uint32)], 0
-        )
+    call = _pinned_ck_call(RW, TB, D, SW, ntiles, n_tb, n_ck, interpret)
 
-    out, ckvp, ckvm, cktv = _pinned_ck_call(
-        RW, TB, D, SW, ntiles, n_tb, n_ck, interpret
-    )(
-        jnp.asarray(plan["ent_t"]),
-        jnp.asarray(plan["abs_t"]),
-        jnp.asarray(lims),
-        jnp.asarray(plan["base"]),
-        jnp.asarray(plan["roll"]),
-        jnp.asarray(ckst),
-        jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
-        jnp.moveaxis(pb1j.reshape(S_pad, ntiles, 128), 1, 0),
-        jnp.moveaxis(code.reshape(T_pad, ntiles, 128), 1, 0),
-        n_j.reshape(ntiles, 1, 128),
-        m_j.reshape(ntiles, 1, 128),
-        loend_j.reshape(ntiles, 1, 128),
-    )
-    res = out.reshape(B) + n_j
-    covered = (m_j - loend_j * W) <= SW * W
-    costs = jnp.where(covered, res, INF32)
-    # Checkpoint row 0 = the all-ones init (never written by the kernel).
-    ckvp = ckvp.at[:, 0].set(jnp.uint32(_ONES))
-    ckvm = ckvm.at[:, 0].set(jnp.uint32(0))
-    cktv = cktv.at[:, 0].set(0)
-    ckvp = jnp.moveaxis(ckvp, 0, 2).reshape(n_ck, SW, B)
-    ckvm = jnp.moveaxis(ckvm, 0, 2).reshape(n_ck, SW, B)
-    cktv = jnp.moveaxis(cktv[:, :, 0, :], 0, 1).reshape(n_ck, B)
-    return costs, ckvp, ckvm, cktv
+    def fn(a0, a1, pb0, pb1, n, m, lims):
+        n_j = jnp.asarray(n).astype(jnp.int32)
+        m_j = jnp.asarray(m).astype(jnp.int32)
+        loend_j = jnp.take(
+            jnp.asarray(lo32), jnp.clip(n_j - 1, 0, n_max - 1)
+        )
+        pb0j = jnp.asarray(pb0)
+        pb1j = jnp.asarray(pb1)
+        if S_pad > S:
+            pb0j = jnp.concatenate(
+                [pb0j, jnp.broadcast_to(pb0j[-1], (S_pad - S, B))], 0
+            )
+            pb1j = jnp.concatenate(
+                [pb1j, jnp.broadcast_to(pb1j[-1], (S_pad - S, B))], 0
+            )
+        code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
+            jnp.uint32
+        )
+        if T_pad > n_max:
+            code = jnp.concatenate(
+                [code, jnp.zeros((T_pad - n_max, B), jnp.uint32)], 0
+            )
+        out, ckvp, ckvm, cktv = call(
+            jnp.asarray(plan["ent_t"]),
+            jnp.asarray(plan["abs_t"]),
+            jnp.asarray(lims),
+            jnp.asarray(plan["base"]),
+            jnp.asarray(plan["roll"]),
+            jnp.asarray(ckst),
+            jnp.moveaxis(pb0j.reshape(S_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(pb1j.reshape(S_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(code.reshape(T_pad, ntiles, 128), 1, 0),
+            n_j.reshape(ntiles, 1, 128),
+            m_j.reshape(ntiles, 1, 128),
+            loend_j.reshape(ntiles, 1, 128),
+        )
+        res = out.reshape(B) + n_j
+        covered = (m_j - loend_j * W) <= SW * W
+        costs = jnp.where(covered, res, INF32)
+        # Checkpoint row 0 = the all-ones init (never written by the
+        # kernel).
+        ckvp = ckvp.at[:, 0].set(jnp.uint32(_ONES))
+        ckvm = ckvm.at[:, 0].set(jnp.uint32(0))
+        cktv = cktv.at[:, 0].set(0)
+        ckvp = jnp.moveaxis(ckvp, 0, 2).reshape(n_ck, SW, B)
+        ckvm = jnp.moveaxis(ckvm, 0, 2).reshape(n_ck, SW, B)
+        cktv = jnp.moveaxis(cktv[:, :, 0, :], 0, 1).reshape(n_ck, B)
+        return costs, ckvp, ckvm, cktv
+
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=None)

@@ -50,6 +50,7 @@ INF32 = 1 << 30
 _NEVER = np.int32(2 ** 30)
 
 
+@functools.lru_cache(maxsize=None)
 def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int, diag=None):
     """Host-side plan.  SMEM is 1MB: per-(stripe, t) bit planes would be
     O(n_stripes * T) and blow it at long reads, so events ship as
@@ -616,65 +617,83 @@ def striped_cost_tpu(
     assert WS % 8 == 0
 
     plan = _plan_striped(n_max, S, SW, WS, time_block, diag)
+    cap0, cap1 = _stripe_cap_windows(
+        plan, n, m, SW, WS, plan["T_pad"], static_windows
+    )
+    return _striped_cost_entry(
+        n_max, S, SW, WS, time_block, ntiles, interpret, diag
+    )(a0, a1, pb0, pb1, n, m, cap0, cap1)
+
+
+@functools.lru_cache(maxsize=None)
+def _striped_cost_entry(n_max, S, SW, WS, time_block, ntiles, interpret,
+                        diag):
+    """ONE jitted function per geometry: prep (profile/code padding, tile
+    transposes) + the pallas call + the certificate post-pass — eager
+    per-op dispatches cost tunnel round-trips (see pinned's
+    _pinned_cost_entry)."""
+    plan = _plan_striped(n_max, S, SW, WS, time_block, diag)
     TB, n_tb, T_pad = plan["TB"], plan["n_tb"], plan["T_pad"]
     n_stripes, nw_pad = plan["n_stripes"], plan["nw_pad"]
-    lo = plan["lo"]
-
-    n_j = jnp.asarray(n).astype(jnp.int32)
-    m_j = jnp.asarray(m).astype(jnp.int32)
-    loend_j = jnp.take(
-        jnp.asarray(np.asarray(lo, np.int32)),
-        jnp.clip(n_j - 1, 0, n_max - 1),
-    )
-    cap0, cap1 = _stripe_cap_windows(plan, n, m, SW, WS, T_pad, static_windows)
-
-    # Profile planes padded to the stripe grid (clamp-last rows), code
-    # plane front-padded so per-block offsets never go negative.
+    lo32 = np.asarray(plan["lo"], np.int32)
+    B = ntiles * 128
     FRONT = nw_pad
-    pb0j = jnp.asarray(pb0)
-    pb1j = jnp.asarray(pb1)
-    if nw_pad > S:
-        pb0j = jnp.concatenate(
-            [pb0j, jnp.broadcast_to(pb0j[-1], (nw_pad - S, B))], 0
-        )
-        pb1j = jnp.concatenate(
-            [pb1j, jnp.broadcast_to(pb1j[-1], (nw_pad - S, B))], 0
-        )
-    else:
-        pb0j = pb0j[:nw_pad]
-        pb1j = pb1j[:nw_pad]
-    code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
-        jnp.uint32
-    )
-    code = jnp.concatenate(
-        [
-            jnp.zeros((FRONT, B), jnp.uint32),
-            code,
-            jnp.zeros((max(T_pad - n_max, 0), B), jnp.uint32),
-        ],
-        0,
-    )[: FRONT + T_pad]
-
-    out, _carA, _carB = _striped_call(
+    call = _striped_call(
         WS, TB, SW, ntiles, n_stripes, n_tb, T_pad, FRONT, interpret
-    )(
-        jnp.asarray(np.concatenate([plan["ent_t"], np.full(8, _NEVER)])),
-        jnp.asarray(np.concatenate([plan["abs_t"], np.full(8, _NEVER)])),
-        jnp.asarray(plan["own0"]),
-        jnp.asarray(plan["own1"]),
-        jnp.asarray(cap0),
-        jnp.asarray(cap1),
-        jnp.asarray(plan["blk_active"]),
-        jnp.moveaxis(pb0j.reshape(nw_pad, ntiles, 128), 1, 0),
-        jnp.moveaxis(pb1j.reshape(nw_pad, ntiles, 128), 1, 0),
-        jnp.moveaxis(code.reshape(FRONT + T_pad, ntiles, 128), 1, 0),
-        n_j.reshape(ntiles, 1, 128),
-        m_j.reshape(ntiles, 1, 128),
-        loend_j.reshape(ntiles, 1, 128),
     )
-    res = out.reshape(B) + n_j
-    covered = (m_j - loend_j * W) <= SW * W
-    return jnp.where(covered, res, INF32)
+
+    def fn(a0, a1, pb0, pb1, n, m, cap0, cap1):
+        n_j = jnp.asarray(n).astype(jnp.int32)
+        m_j = jnp.asarray(m).astype(jnp.int32)
+        loend_j = jnp.take(
+            jnp.asarray(lo32), jnp.clip(n_j - 1, 0, n_max - 1)
+        )
+        # Profile planes padded to the stripe grid (clamp-last rows), code
+        # plane front-padded so per-block offsets never go negative.
+        pb0j = jnp.asarray(pb0)
+        pb1j = jnp.asarray(pb1)
+        if nw_pad > S:
+            pb0j = jnp.concatenate(
+                [pb0j, jnp.broadcast_to(pb0j[-1], (nw_pad - S, B))], 0
+            )
+            pb1j = jnp.concatenate(
+                [pb1j, jnp.broadcast_to(pb1j[-1], (nw_pad - S, B))], 0
+            )
+        else:
+            pb0j = pb0j[:nw_pad]
+            pb1j = pb1j[:nw_pad]
+        code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
+            jnp.uint32
+        )
+        code = jnp.concatenate(
+            [
+                jnp.zeros((FRONT, B), jnp.uint32),
+                code,
+                jnp.zeros((max(T_pad - n_max, 0), B), jnp.uint32),
+            ],
+            0,
+        )[: FRONT + T_pad]
+
+        out, _carA, _carB = call(
+            jnp.asarray(np.concatenate([plan["ent_t"], np.full(8, _NEVER)])),
+            jnp.asarray(np.concatenate([plan["abs_t"], np.full(8, _NEVER)])),
+            jnp.asarray(plan["own0"]),
+            jnp.asarray(plan["own1"]),
+            jnp.asarray(cap0),
+            jnp.asarray(cap1),
+            jnp.asarray(plan["blk_active"]),
+            jnp.moveaxis(pb0j.reshape(nw_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(pb1j.reshape(nw_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(code.reshape(FRONT + T_pad, ntiles, 128), 1, 0),
+            n_j.reshape(ntiles, 1, 128),
+            m_j.reshape(ntiles, 1, 128),
+            loend_j.reshape(ntiles, 1, 128),
+        )
+        res = out.reshape(B) + n_j
+        covered = (m_j - loend_j * W) <= SW * W
+        return jnp.where(covered, res, INF32)
+
+    return jax.jit(fn)
 
 
 def striped_ck_tpu(
@@ -704,12 +723,32 @@ def striped_ck_tpu(
     assert WS % 8 == 0
     CB = col_block if col_block else max(1024, SWP)
     CB = min(max(CB, SWP), max(n_max, 1))
-    n_ck = n_max // CB + 1
 
+    plan = _plan_striped(n_max, S, SW, WS, time_block, diag)
+    # Capture anti-diagonals can trail the last compute step by up to SWP
+    # steps: the entry extends the time grid by one block (see below), so
+    # the cap windows clamp against the EXTENDED T_pad.
+    cap0, cap1 = _stripe_cap_windows(
+        plan, n, m, SW, WS, plan["T_pad"] + plan["TB"], static_windows
+    )
+    return _striped_ck_entry(
+        n_max, S, SW, WS, time_block, CB, ntiles, interpret, diag
+    )(a0, a1, pb0, pb1, n, m, cap0, cap1)
+
+
+@functools.lru_cache(maxsize=None)
+def _striped_ck_entry(n_max, S, SW, WS, time_block, CB, ntiles, interpret,
+                      diag):
+    """Jitted prep + pallas + checkpoint post-pass per geometry (see
+    :func:`_striped_cost_entry`)."""
+    SWP = SW + 8
+    B = ntiles * 128
+    n_ck = n_max // CB + 1
     plan = _plan_striped(n_max, S, SW, WS, time_block, diag)
     TB = plan["TB"]
     n_stripes, nw_pad = plan["n_stripes"], plan["nw_pad"]
     lo = plan["lo"]
+    lo32 = np.asarray(lo, np.int32)
     LIVE8 = -(-plan["n_words_live"] // 8) * 8
     # Capture anti-diagonals can trail the last compute step by up to SWP
     # steps: extend the time grid by one block so the tail always lands in
@@ -717,14 +756,6 @@ def striped_ck_tpu(
     # a gap would re-init the stripe state mid-capture).
     n_tb = plan["n_tb"] + 1
     T_pad = plan["T_pad"] + TB
-
-    n_j = jnp.asarray(n).astype(jnp.int32)
-    m_j = jnp.asarray(m).astype(jnp.int32)
-    loend_j = jnp.take(
-        jnp.asarray(np.asarray(lo, np.int32)),
-        jnp.clip(n_j - 1, 0, n_max - 1),
-    )
-    cap0, cap1 = _stripe_cap_windows(plan, n, m, SW, WS, T_pad, static_windows)
 
     # Checkpoint events: window k (k >= 1) = state after column k*CB with
     # true top w0 = lo[k*CB - 1]; the emitted plane top is w0a = w0 & ~7
@@ -779,63 +810,73 @@ def striped_ck_tpu(
         blk_active[s, b0:b1] = 1
 
     FRONT = nw_pad
-    pb0j = jnp.asarray(pb0)
-    pb1j = jnp.asarray(pb1)
-    if nw_pad > S:
-        pb0j = jnp.concatenate(
-            [pb0j, jnp.broadcast_to(pb0j[-1], (nw_pad - S, B))], 0
-        )
-        pb1j = jnp.concatenate(
-            [pb1j, jnp.broadcast_to(pb1j[-1], (nw_pad - S, B))], 0
-        )
-    else:
-        pb0j = pb0j[:nw_pad]
-        pb1j = pb1j[:nw_pad]
-    code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
-        jnp.uint32
-    )
-    code = jnp.concatenate(
-        [
-            jnp.zeros((FRONT, B), jnp.uint32),
-            code,
-            jnp.zeros((max(T_pad - n_max, 0), B), jnp.uint32),
-        ],
-        0,
-    )[: FRONT + T_pad]
-
-    out, _carA, _carB, ckvp, ckvm, cktv = _striped_ck_call(
+    call = _striped_ck_call(
         WS, TB, SW, SWP, LIVE8, ntiles, n_stripes, n_tb, T_pad, FRONT, n_ck,
         interpret,
-    )(
-        jnp.asarray(np.concatenate([plan["ent_t"], np.full(8, _NEVER)])),
-        jnp.asarray(np.concatenate([plan["abs_t"], np.full(8, _NEVER)])),
-        jnp.asarray(plan["own0"]),
-        jnp.asarray(plan["own1"]),
-        jnp.asarray(cap0),
-        jnp.asarray(cap1),
-        jnp.asarray(blk_active),
-        jnp.asarray(ckt0),
-        jnp.asarray(ckw0),
-        jnp.asarray(ckw0a),
-        jnp.asarray(ckj0),
-        jnp.asarray(ckj1),
-        jnp.moveaxis(pb0j.reshape(nw_pad, ntiles, 128), 1, 0),
-        jnp.moveaxis(pb1j.reshape(nw_pad, ntiles, 128), 1, 0),
-        jnp.moveaxis(code.reshape(FRONT + T_pad, ntiles, 128), 1, 0),
-        n_j.reshape(ntiles, 1, 128),
-        m_j.reshape(ntiles, 1, 128),
-        loend_j.reshape(ntiles, 1, 128),
     )
-    res = out.reshape(B) + n_j
-    covered = (m_j - loend_j * W) <= SW * W
-    costs = jnp.where(covered, res, INF32)
-    # Checkpoint 0 = the all-ones init (never written by the kernel);
-    # lo_0 = 0, so the aligned plane top is word 0 and every row is the
-    # virgin state.
-    ckvp = ckvp.at[:, 0].set(jnp.uint32(_ONES))
-    ckvm = ckvm.at[:, 0].set(jnp.uint32(0))
-    cktv = cktv.at[:, 0].set(0)
-    ckvp = jnp.moveaxis(ckvp, 0, 2).reshape(n_ck, SWP, B)
-    ckvm = jnp.moveaxis(ckvm, 0, 2).reshape(n_ck, SWP, B)
-    cktv = jnp.moveaxis(cktv[:, :, 0, :], 0, 1).reshape(n_ck, B)
-    return costs, ckvp, ckvm, cktv
+
+    def fn(a0, a1, pb0, pb1, n, m, cap0, cap1):
+        n_j = jnp.asarray(n).astype(jnp.int32)
+        m_j = jnp.asarray(m).astype(jnp.int32)
+        loend_j = jnp.take(
+            jnp.asarray(lo32), jnp.clip(n_j - 1, 0, n_max - 1)
+        )
+        pb0j = jnp.asarray(pb0)
+        pb1j = jnp.asarray(pb1)
+        if nw_pad > S:
+            pb0j = jnp.concatenate(
+                [pb0j, jnp.broadcast_to(pb0j[-1], (nw_pad - S, B))], 0
+            )
+            pb1j = jnp.concatenate(
+                [pb1j, jnp.broadcast_to(pb1j[-1], (nw_pad - S, B))], 0
+            )
+        else:
+            pb0j = pb0j[:nw_pad]
+            pb1j = pb1j[:nw_pad]
+        code = ((jnp.asarray(a0) & 1) | ((jnp.asarray(a1) & 1) << 1)).astype(
+            jnp.uint32
+        )
+        code = jnp.concatenate(
+            [
+                jnp.zeros((FRONT, B), jnp.uint32),
+                code,
+                jnp.zeros((max(T_pad - n_max, 0), B), jnp.uint32),
+            ],
+            0,
+        )[: FRONT + T_pad]
+
+        out, _carA, _carB, ckvp, ckvm, cktv = call(
+            jnp.asarray(np.concatenate([plan["ent_t"], np.full(8, _NEVER)])),
+            jnp.asarray(np.concatenate([plan["abs_t"], np.full(8, _NEVER)])),
+            jnp.asarray(plan["own0"]),
+            jnp.asarray(plan["own1"]),
+            jnp.asarray(cap0),
+            jnp.asarray(cap1),
+            jnp.asarray(blk_active),
+            jnp.asarray(ckt0),
+            jnp.asarray(ckw0),
+            jnp.asarray(ckw0a),
+            jnp.asarray(ckj0),
+            jnp.asarray(ckj1),
+            jnp.moveaxis(pb0j.reshape(nw_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(pb1j.reshape(nw_pad, ntiles, 128), 1, 0),
+            jnp.moveaxis(code.reshape(FRONT + T_pad, ntiles, 128), 1, 0),
+            n_j.reshape(ntiles, 1, 128),
+            m_j.reshape(ntiles, 1, 128),
+            loend_j.reshape(ntiles, 1, 128),
+        )
+        res = out.reshape(B) + n_j
+        covered = (m_j - loend_j * W) <= SW * W
+        costs = jnp.where(covered, res, INF32)
+        # Checkpoint 0 = the all-ones init (never written by the kernel);
+        # lo_0 = 0, so the aligned plane top is word 0 and every row is
+        # the virgin state.
+        ckvp = ckvp.at[:, 0].set(jnp.uint32(_ONES))
+        ckvm = ckvm.at[:, 0].set(jnp.uint32(0))
+        cktv = cktv.at[:, 0].set(0)
+        ckvp = jnp.moveaxis(ckvp, 0, 2).reshape(n_ck, SWP, B)
+        ckvm = jnp.moveaxis(ckvm, 0, 2).reshape(n_ck, SWP, B)
+        cktv = jnp.moveaxis(cktv[:, :, 0, :], 0, 1).reshape(n_ck, B)
+        return costs, ckvp, ckvm, cktv
+
+    return jax.jit(fn)

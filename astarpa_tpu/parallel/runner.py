@@ -258,7 +258,14 @@ class BatchAligner:
         from ..ops.pallas_myers import pack_batch_staggered
 
         cls = self._bucket_class([pairs[i] for i in idxs])
-        band = max(self.band_words, self._band_hints.get(cls, 0))
+        # Warm-start hint REPLACES the configured start band (it is the
+        # measured tight need of the last same-class bucket, 64-word
+        # quantized with margin): a large configured band_words would
+        # otherwise put a permanent floor under the ladder and waste
+        # kernel time forever (config #5: 2048-word start vs ~1100-word
+        # need = ~1.9x kernel cells).  A drifted batch that fails the
+        # hint rung retries via the normal certificate ladder.
+        band = self._band_hints.get(cls) or self.band_words
         need_max = 1
         pending = idxs
         attempt = 0
@@ -897,7 +904,8 @@ class BatchAligner:
         from ..ops.pallas_myers import pack_batch_staggered
 
         cls = self._bucket_class([pairs[i] for i in idxs])
-        band = max(self.band_words, self._band_hints.get(cls, 0))
+        # Hint replaces the configured start band (see _run_bucket).
+        band = self._band_hints.get(cls) or self.band_words
         need_max = 1
         pending = idxs
         attempt = 0

@@ -182,6 +182,39 @@ def main() -> None:
     align_dt = float(steady.mean())
     align_gbps = cig_batch * N / align_dt / 1e9
 
+    # North-star parity ratio (BASELINE.md: ">=10x aggregate aligned-bp/s
+    # of single-core A*PA2" WITH CIGARs): measure the repo's own
+    # single-core reference twin — AstarPa2Params presets over the native
+    # block backend (`astarpa_tpu/aligners/astarpa2.py`, the faithful
+    # re-expression of `astarpa2/src/lib.rs:38-53`) — on pairs from the
+    # SAME 10kbp e=5% input, and report cost_cigar_gbps / ref_core_gbps.
+    ref_core = {}
+    try:
+        from astarpa_tpu.aligners.astarpa2 import AstarPa2Params
+
+        ref_pairs = pairs[:16]
+        best, best_name = 0.0, None
+        for name, mk in (("simple", AstarPa2Params.simple),
+                         ("full", AstarPa2Params.full)):
+            al = mk().make_aligner(True)
+            c0, cig0 = al.align(*ref_pairs[0])  # warm: native lib, tables
+            assert cig0.verify(*ref_pairs[0]) == c0
+            t0 = time.perf_counter()
+            for a, b in ref_pairs:
+                al.align(a, b)
+            gb = sum(len(a) for a, _ in ref_pairs) / (
+                time.perf_counter() - t0
+            ) / 1e9
+            if gb > best:
+                best, best_name = gb, name
+        ref_core = {
+            "ref_core_gbps": round(best, 5),
+            "ref_core_preset": best_name,
+            "cost_cigar_vs_ref_core": round(align_gbps / best, 2),
+        }
+    except Exception as exc:  # pragma: no cover - bench resilience
+        ref_core = {"ref_core_error": repr(exc)[:200]}
+
     # Config #5 (BASELINE): 500kbp ONT-like e=15% cost certification —
     # the big-band path (shared/per-pair pinned kernel with TB-shrunk
     # residency; round-2 verdict item 1).  Small batch: the metric is
@@ -202,7 +235,13 @@ def main() -> None:
         del ba  # drop the streaming section's aligner (flush threads, hints)
         ba5 = BatchAligner(band_words=2048, lane_multiple=128,
                            domain_mode="off")
-        ba5.cost(c5_pairs[:2])  # warm/compile on a slice
+        # Warm TWICE on the full batch: the first run (2048-word start)
+        # records the measured tight-band hint, the second compiles the
+        # hint-start geometry the timed runs actually use (a hint-started
+        # rung is a fresh kernel geometry; Mosaic caches it cross-process,
+        # so this is one-time).
+        ba5.cost(c5_pairs)
+        ba5.cost(c5_pairs)
         runner_mod.LAST_KERNEL = None
         # The tunnel's per-run variance at this transfer size is ~2x
         # (measured 8.5-16s for identical work): report the best of two.
@@ -231,6 +270,8 @@ def main() -> None:
         "vs_baseline": round(gbps / ref_gbps, 3),
         # Co-headline (BASELINE.md north star is distance + CIGAR parity):
         "cost_cigar_gbps": round(align_gbps, 4),
+        **{k: v for k, v in ref_core.items()
+           if k == "cost_cigar_vs_ref_core"},
         "detail": {
             "device": str(jax.devices()[0]),
             "batch": BATCH,
@@ -250,6 +291,7 @@ def main() -> None:
                 "costs (zero checkpoint readback at this cost scale); "
                 "host side is 1 core behind a ~7MB/s device->host tunnel"
             ),
+            **ref_core,
             **c5,
         },
     }
