@@ -7,7 +7,7 @@ shrinks the failing input (halving from both ends, dropping chars) and
 prints a minimal reproducer.
 
 Usage:
-    python scripts/fuzz.py [--aligner astarpa|astarpa2-simple|astarpa2-full|native|batch|batch-ck|batch-domain] [--iters N]
+    python scripts/fuzz.py [--aligner astarpa|astarpa2-simple|astarpa2-full|native|batch|batch-ck|batch-domain|batch-bigband] [--iters N]
 """
 
 from __future__ import annotations
@@ -80,6 +80,12 @@ def build(name: str):
         #   batch-ck     checkpoint kernel + staged readback + native
         #                per-segment traces (direct_dt off)
         #   batch-domain per-pair gap-domain ladder (found the SW==S crash)
+        #   batch-bigband  pinned-ck / striped-ck routing with shrunk
+        #                thresholds (interpret mode), alternating per call
+        #                so both big-band layouts + the native
+        #                trace_banded_ck[_rows] consumers see random
+        #                inputs, not just the curated tests
+        from astarpa_tpu.parallel import runner as rmod
         from astarpa_tpu.parallel.runner import BatchAligner
 
         kw = dict(band_words=2, lane_multiple=128, pallas_interpret=True,
@@ -88,6 +94,24 @@ def build(name: str):
             kw["direct_dt"] = False
         elif name == "batch-domain":
             kw.update(domain_mode="gap", domain_min_bp=0, direct_dt=False)
+        elif name == "batch-bigband":
+            kw.update(band_words=8, direct_dt=False)
+            state = {"flip": 0}
+
+            def bigband_align(a, b):
+                state["flip"] ^= 1
+                # pinned rung geometry one call, striped the next.
+                saved = (rmod.PINNED_MIN_SW, rmod.PINNED_MAX_SW)
+                rmod.PINNED_MIN_SW, rmod.PINNED_MAX_SW = (
+                    (4, 64) if state["flip"] else (2, 2)
+                )
+                try:
+                    ba = BatchAligner(**kw)
+                    return ba.align([(a, b)])[0]
+                finally:
+                    rmod.PINNED_MIN_SW, rmod.PINNED_MAX_SW = saved
+
+            return bigband_align
         ba = BatchAligner(**kw)
         return lambda a, b: ba.align([(a, b)])[0]
     from astarpa_tpu.aligners.astarpa2 import AstarPa2Params
