@@ -254,79 +254,161 @@ class BatchAligner:
     # -- internals -----------------------------------------------------------
 
     def _run_bucket(self, pairs, idxs: list[int], out: np.ndarray, stats: BatchStats) -> None:
-        from ..ops import banded
+        rung = self._rung_start(pairs, self._new_ladder(pairs, idxs), stats)
+        while rung is not None:
+            rung = self._rung_finish(pairs, out, stats, rung)
+
+    def _new_ladder(self, pairs, idxs: list[int]) -> dict:
+        """Fresh band-ladder state for one bucket.  The warm-start hint
+        REPLACES the configured start band (it is the measured tight need
+        of the last same-class bucket, 64-word quantized with margin): a
+        large configured band_words would otherwise put a permanent floor
+        under the ladder and waste kernel cells forever.  A drifted batch
+        that fails the hint rung retries via the normal certificate
+        ladder."""
+        cls = self._bucket_class([pairs[i] for i in idxs])
+        return dict(
+            cls=cls,
+            band=self._band_hints.get(cls) or self.band_words,
+            need_max=1,
+            pending=list(idxs),
+            attempt=0,
+            # (args, B0, members): reused across rungs while the padded
+            # batch wouldn't shrink much — repacking costs host time and
+            # an upload per rung, extra already-certified lanes only
+            # device time (the cheap resource; cf.
+            # `astarpa2/src/domain.rs:452-455` reuse).
+            packed=None,
+        )
+
+    def _rung_start(self, pairs, lad: dict, stats: BatchStats) -> dict:
+        """Dispatch ONE band rung: repack if the pending set shrank, pick
+        the window, launch the cost kernel ASYNCHRONOUSLY.  The device
+        result is not synced here — `cost_iter` packs and dispatches the
+        next batch while this rung is in flight; :meth:`_rung_finish`
+        certifies."""
         from ..ops.pallas_myers import pack_batch_staggered
 
-        cls = self._bucket_class([pairs[i] for i in idxs])
-        # Warm-start hint REPLACES the configured start band (it is the
-        # measured tight need of the last same-class bucket, 64-word
-        # quantized with margin): a large configured band_words would
-        # otherwise put a permanent floor under the ladder and waste
-        # kernel time forever (config #5: 2048-word start vs ~1100-word
-        # need = ~1.9x kernel cells).  A drifted batch that fails the
-        # hint rung retries via the normal certificate ladder.
-        band = self._band_hints.get(cls) or self.band_words
-        need_max = 1
-        pending = idxs
-        attempt = 0
-        packed = None  # (args, B0, members): reused across rungs while the
-        # padded batch wouldn't shrink much — repacking costs host time and
-        # an upload per rung, extra already-certified lanes only device time
-        # (the cheap resource; cf. `astarpa2/src/domain.rs:452-455` reuse).
-        while True:
-            if packed is None or 2 * len(pending) <= len(packed[2]):
-                bucket_pairs = [pairs[i] for i in pending]
-                args, B0 = pack_batch_staggered(
-                    bucket_pairs, self._pack_multiple(),
-                    shape_quantum=self._shape_quantum(bucket_pairs),
-                )
-                args = self._shard(args)
-                packed = (args, B0, list(pending))
-            args, B0, members = packed
-            a0, a1, pb0, pb1, n, m = args
-            n_max, S = a0.shape[0], pb0.shape[0]
-            diag = self._diag(n, m, B0, n_max, S)
-            sw = min(band, S)
-            # Skewed buckets (m_max > W * n_max) have no valid <=1-word/column
-            # shift schedule; and the last ladder rung clamps to the always-
-            # exact full-height window so the ladder converges for any input.
-            if S > max(n_max, 1) or attempt >= self.max_band_doublings:
-                sw = S
-            costs = np.asarray(
-                self._kernel(a0, a1, pb0, pb1, n, m, sw, S, diag)
-            )[:B0]
-            stats.cells_computed += n_max * sw * W * len(members)
-            if sw >= S:
-                # Full-height window: always exact.
-                ok = np.ones(B0, dtype=bool)
+        if lad["packed"] is None or 2 * len(lad["pending"]) <= len(
+            lad["packed"][2]
+        ):
+            bucket_pairs = [pairs[i] for i in lad["pending"]]
+            args, B0 = pack_batch_staggered(
+                bucket_pairs, self._pack_multiple(),
+                shape_quantum=self._shape_quantum(bucket_pairs),
+            )
+            args = self._shard(args)
+            lad["packed"] = (args, B0, list(lad["pending"]))
+        args, B0, members = lad["packed"]
+        a0, a1, pb0, pb1, n, m = args
+        n_max, S = a0.shape[0], pb0.shape[0]
+        diag = self._diag(n, m, B0, n_max, S)
+        sw = min(lad["band"], S)
+        # Skewed buckets (m_max > W * n_max) have no valid <=1-word/column
+        # shift schedule; and the last ladder rung clamps to the always-
+        # exact full-height window so the ladder converges for any input.
+        if S > max(n_max, 1) or lad["attempt"] >= self.max_band_doublings:
+            sw = S
+        costs_dev = self._kernel(a0, a1, pb0, pb1, n, m, sw, S, diag)
+        stats.cells_computed += n_max * sw * W * len(members)
+        return dict(lad=lad, costs_dev=costs_dev, sw=sw, S=S, diag=diag)
+
+    def _rung_finish(self, pairs, out, stats: BatchStats, rung: dict):
+        """Sync + certify one in-flight rung; returns the next in-flight
+        rung (retry at a wider band) or None when the bucket is done."""
+        from ..ops import banded
+
+        lad = rung["lad"]
+        args, B0, members = lad["packed"]
+        _a0, _a1, _pb0, _pb1, n, m = args
+        sw, S, diag = rung["sw"], rung["S"], rung["diag"]
+        costs = np.asarray(rung["costs_dev"])[:B0]
+        if sw >= S:
+            # Full-height window: always exact.
+            ok = np.ones(B0, dtype=bool)
+        else:
+            thr = banded.band_threshold(
+                sw, np.asarray(n)[:B0], np.asarray(m)[:B0], *diag
+            )
+            ok = costs <= thr
+        pending_set = set(lad["pending"])
+        nxt = []
+        fail_slots = []
+        ok_slots = []
+        for slot, i in enumerate(members):
+            if i not in pending_set:
+                continue
+            if ok[slot]:
+                out[i] = int(costs[slot])
+                ok_slots.append(slot)
             else:
-                thr = banded.band_threshold(
-                    sw, np.asarray(n)[:B0], np.asarray(m)[:B0], *diag
+                nxt.append(i)
+                fail_slots.append(slot)
+        lad["need_max"] = self._note_need(
+            lad["need_max"], costs, ok_slots, n, m, B0, diag
+        )
+        lad["pending"] = nxt
+        if not nxt:
+            self._band_hints[lad["cls"]] = lad["need_max"]
+            return None
+        assert sw < S, "full-height window must certify every pair"
+        stats.band_retries += 1
+        lad["band"] = self._next_band(lad["band"], costs, fail_slots, n, m,
+                                      B0, diag)
+        lad["attempt"] += 1
+        return self._rung_start(pairs, lad, stats)
+
+    def cost_iter(self, batches):
+        """Pipelined streaming costs: yields one ``(costs, stats)`` per
+        input batch, in order.  Batch k+1's host pack + first-rung
+        dispatch run while batch k's kernel is still in flight on the
+        device (jax dispatch is async; the sync happens at
+        certification), so in steady state per-batch wall-clock ~= the
+        kernel time and the pack rides the device gap — the cost-path
+        sibling of :meth:`align_iter` (BASELINE config #5's streaming
+        shape).  Domain-mode buckets and band retries are handled
+        synchronously at finish time (rare in a hint-warmed stream)."""
+        pending = None
+        for pairs in batches:
+            cur = self._cost_dispatch(pairs)
+            if pending is not None:
+                yield self._cost_finish(*pending)
+            pending = cur
+        if pending is not None:
+            yield self._cost_finish(*pending)
+
+    def _cost_dispatch(self, pairs):
+        stats = BatchStats(pairs=len(pairs))
+        out = np.full(len(pairs), -1, dtype=np.int64)
+        todo: list[int] = []
+        for idx, (a, b) in enumerate(pairs):
+            if len(a) == 0 or len(b) == 0:
+                out[idx] = len(a) + len(b)
+            else:
+                todo.append(idx)
+        jobs = []
+        for bucket in _buckets(pairs, todo):
+            stats.buckets += 1
+            mode = self._resolve_domain_mode(pairs, bucket, want_cigars=False)
+            if mode:
+                jobs.append((mode, bucket, None))
+            else:
+                rung = self._rung_start(
+                    pairs, self._new_ladder(pairs, bucket), stats
                 )
-                ok = costs <= thr
-            pending_set = set(pending)
-            nxt = []
-            fail_slots = []
-            ok_slots = []
-            for slot, i in enumerate(members):
-                if i not in pending_set:
-                    continue
-                if ok[slot]:
-                    out[i] = int(costs[slot])
-                    ok_slots.append(slot)
-                else:
-                    nxt.append(i)
-                    fail_slots.append(slot)
-            need_max = self._note_need(need_max, costs, ok_slots, n, m, B0,
-                                       diag)
-            pending = nxt
-            if not pending:
-                self._band_hints[cls] = need_max
-                return
-            assert sw < S, "full-height window must certify every pair"
-            stats.band_retries += 1
-            band = self._next_band(band, costs, fail_slots, n, m, B0, diag)
-            attempt += 1
+                jobs.append((None, bucket, rung))
+        return pairs, stats, out, jobs
+
+    def _cost_finish(self, pairs, stats, out, jobs):
+        for mode, bucket, rung in jobs:
+            if mode:
+                self._domain_ladder(pairs, bucket, out, stats, mode=mode)
+            else:
+                while rung is not None:
+                    rung = self._rung_finish(pairs, out, stats, rung)
+        stats.aligned_bp = sum(len(a) for a, _ in pairs)
+        assert (out >= 0).all()
+        return out, stats
 
     def _next_band(self, band, costs, fail_slots, n, m, B0, diag) -> int:
         """Jump the ladder to the band the failed pairs' banded upper bounds

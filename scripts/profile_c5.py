@@ -50,16 +50,23 @@ def timed_kernel(self, *args, **kw):
     out = _orig_kernel(self, *args, **kw)
     import jax
     jax.block_until_ready(out)
-    mark("kernel_dispatch_block", time.perf_counter() - t0)
+    mark(f"kernel_dispatch_block(sw={args[6]})", time.perf_counter() - t0)
     return out
 
 
 BatchAligner._kernel = timed_kernel
 
 t0 = time.perf_counter()
-c5_pairs = generate.generate_batch(128, 500_000, 0.15,
-                                   generate.ErrorModel.UNIFORM, seed=7)
-print(f"generate: {time.perf_counter()-t0:.2f}s", flush=True)
+import pickle, os
+if os.path.exists("/tmp/c5_pairs.pkl"):
+    with open("/tmp/c5_pairs.pkl", "rb") as f:
+        c5_pairs = pickle.load(f)
+else:
+    c5_pairs = generate.generate_batch(128, 500_000, 0.15,
+                                       generate.ErrorModel.UNIFORM, seed=7)
+    with open("/tmp/c5_pairs.pkl", "wb") as f:
+        pickle.dump(c5_pairs, f)
+print(f"load/generate: {time.perf_counter()-t0:.2f}s", flush=True)
 
 ba5 = BatchAligner(band_words=2048, lane_multiple=128, domain_mode="off")
 t0 = time.perf_counter()

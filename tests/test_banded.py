@@ -173,6 +173,32 @@ def test_align_iter_pipelined_interpret():
             assert cig.verify(a, b) == c
 
 
+def test_cost_iter_pipelined_interpret():
+    """Streaming cost_iter yields per-batch exact costs in order, with
+    batch k+1's pack/dispatch overlapping batch k's in-flight kernel;
+    includes a trivial (empty) pair, a mixed bucket, and a retry-prone
+    low starting band so the deferred-certification ladder is exercised."""
+    ba = BatchAligner(band_words=2, lane_multiple=128, pallas_interpret=True,
+                      domain_mode="off")
+    batches = [
+        [generate.uniform_seeded(180 + 11 * s + 40 * k, 0.12, 77 * k + s)
+         for s in range(3)]
+        for k in range(3)
+    ]
+    batches[1].append((b"", b"ACGT"))
+    got = list(ba.cost_iter(iter(batches)))
+    assert len(got) == 3
+    for pairs, (costs, stats) in zip(batches, got):
+        assert stats.pairs == len(pairs)
+        for (a, b), c in zip(pairs, costs):
+            assert int(c) == oracle.levenshtein(a, b)
+    # Identical to the unpipelined path.
+    ba2 = BatchAligner(band_words=2, lane_multiple=128,
+                       pallas_interpret=True, domain_mode="off")
+    for pairs, (costs, _st) in zip(batches, got):
+        assert list(map(int, ba2.cost(pairs))) == list(map(int, costs))
+
+
 def test_align_single_char_pairs_interpret():
     """Regression (found by scripts/fuzz.py --aligner batch): SW == S == 1
     pairs crashed the shared Pallas kernel at trace time — the shift
