@@ -134,6 +134,12 @@ class BatchAligner:
     _band_hints: dict = field(default_factory=dict, repr=False)
     # Sticky diagonal aims per packed geometry (see _diag).
     _diag_hints: dict = field(default_factory=dict, repr=False)
+    # Prefetched gcsh domain builds: (id(pairs), bucket) -> Future of the
+    # handle list, submitted by the streaming runners while the previous
+    # batch's kernel is in flight (builds are GIL-released ctypes calls,
+    # so they overlap device waits even on one core).
+    _domain_prefetch: dict = field(default_factory=dict, repr=False)
+    _prefetch_ex: object = field(default=None, repr=False)
 
     @staticmethod
     def _bucket_class(bucket_pairs) -> int:
@@ -213,13 +219,22 @@ class BatchAligner:
         if self.ck_col_block:
             base = self.ck_col_block
         else:
-            base = max(4096, sw)
+            # n_max/32 keeps the checkpoint count ~32 regardless of pair
+            # length: the device->host readback shrinks 1/CB while the
+            # native DT bursts stay flat in CB (x-drop live windows), and
+            # the per-segment burst cost is bounded by the band — a
+            # certified distance satisfies d <= ~16*sw, so the segment
+            # distance d*CB/n <= sw/2 always fits the burst budget.
+            # Measured at 500kbp e=15% x128: CB 4096 -> 16384 cut
+            # cost+CIGAR from ~0.3 to 0.076 s/pair (readback-bound).
+            base = max(4096, sw, n_max // 32)
         # sw+8: the striped ck kernel's 8-aligned capture windows need
         # CB >= SW + 8 (the other ck kernels accept any CB >= SW).
         # Rounded to a multiple of 512 (unless clamped by n_max) so the
         # sliding ck kernel can stream inputs at a small divisor block
         # while emitting checkpoints every CB columns.
-        cb = max(base, -(-(sw + 8) // 512) * 512)
+        cb = max(base, sw + 8)
+        cb = -(-cb // 512) * 512
         return min(cb, max(n_max, 1))
 
     def cost(self, pairs) -> np.ndarray:
@@ -391,6 +406,11 @@ class BatchAligner:
             stats.buckets += 1
             mode = self._resolve_domain_mode(pairs, bucket, want_cigars=False)
             if mode:
+                if mode == "gcsh":
+                    # Builds start NOW on the background thread; the
+                    # ladder (run at finish time) pops them — they overlap
+                    # the next batch's in-flight kernel.
+                    self._prefetch_domains(pairs, want_cigars=False)
                 jobs.append((mode, bucket, None))
             else:
                 rung = self._rung_start(
@@ -509,6 +529,54 @@ class BatchAligner:
                 return None
         return mode
 
+    def _build_gcsh_handles(self, bucket_pairs):
+        """Native fwd+rev GCSH domain builds for one bucket (GIL-released
+        ctypes; parallel across pairs on multi-core hosts)."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import native
+
+        workers = min(len(bucket_pairs), os.cpu_count() or 1)
+        if workers > 1:
+            with ThreadPoolExecutor(workers) as ex:
+                return list(
+                    ex.map(
+                        lambda ab: native.DomainHandle(
+                            ab[0], ab[1], k=self.domain_k, r=self.domain_r
+                        ),
+                        bucket_pairs,
+                    )
+                )
+        return [
+            native.DomainHandle(a, b, k=self.domain_k, r=self.domain_r)
+            for a, b in bucket_pairs
+        ]
+
+    def _prefetch_domains(self, pairs, want_cigars: bool) -> None:
+        """Submit gcsh domain builds for ``pairs``' buckets on a background
+        thread.  Called by the streaming runners for the batch AFTER the
+        one being dispatched: the builds then run during the current
+        batch's device waits (both sides release the GIL), so on steady
+        state the dominant gcsh host cost rides the kernel gap instead of
+        serializing with it.  No-op for buckets that don't resolve to
+        gcsh; _domain_ladder pops the matching future."""
+        todo = [i for i, (a, b) in enumerate(pairs) if len(a) and len(b)]
+        for bucket in _buckets(pairs, todo):
+            if self._resolve_domain_mode(pairs, bucket, want_cigars) != "gcsh":
+                continue
+            key = (id(pairs), tuple(bucket))
+            if key in self._domain_prefetch:
+                continue
+            if self._prefetch_ex is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._prefetch_ex = ThreadPoolExecutor(1)
+            bucket_pairs = [pairs[i] for i in bucket]
+            self._domain_prefetch[key] = self._prefetch_ex.submit(
+                self._build_gcsh_handles, bucket_pairs
+            )
+
     def _domain_ladder(self, pairs, idxs, out, stats, results=None,
                        mode: str = "gcsh",
                        trace_jobs: list | None = None) -> None:
@@ -542,25 +610,15 @@ class BatchAligner:
         if mode == "gcsh":
             # GIL-released ctypes builds: parallel across pairs on real
             # hosts (this is the dominant host cost of the gcsh ladder).
-            import os
-            from concurrent.futures import ThreadPoolExecutor
-
-            workers = min(len(bucket_pairs), os.cpu_count() or 1)
-            if workers > 1:
-                with ThreadPoolExecutor(workers) as ex:
-                    handles = list(
-                        ex.map(
-                            lambda ab: native.DomainHandle(
-                                ab[0], ab[1], k=self.domain_k, r=self.domain_r
-                            ),
-                            bucket_pairs,
-                        )
-                    )
+            # A streaming runner may have PREFETCHED this bucket's handles
+            # while the previous batch's kernel was in flight (see
+            # _prefetch_domains) — the build then costs ~nothing of the
+            # steady-state period even on one core.
+            fut = self._domain_prefetch.pop((id(pairs), tuple(idxs)), None)
+            if fut is not None:
+                handles = fut.result()
             else:
-                handles = [
-                    native.DomainHandle(a, b, k=self.domain_k, r=self.domain_r)
-                    for a, b in bucket_pairs
-                ]
+                handles = self._build_gcsh_handles(bucket_pairs)
         else:
             handles = [_GapDomainProvider(a, b) for a, b in bucket_pairs]
         flush_here = trace_jobs is None
@@ -964,18 +1022,27 @@ class BatchAligner:
             return
 
         prev = None  # (pairs, results, stats, trace_jobs)
+        it = iter(batches)
+        sentinel = object()
+        cur_pairs = next(it, sentinel)
         with ThreadPoolExecutor(1) as ex:
             flush_fut = None
-            for pairs in batches:
+            while cur_pairs is not sentinel:
+                nxt_pairs = next(it, sentinel)
+                if nxt_pairs is not sentinel:
+                    # Next batch's gcsh domain builds overlap this batch's
+                    # device waits (GIL-released on both sides).
+                    self._prefetch_domains(nxt_pairs, want_cigars=True)
                 if prev is not None:
                     flush_fut = ex.submit(
                         self._flush_traces, prev[3], prev[0], prev[1]
                     )
-                cur = (pairs, *self._align_dispatch(pairs))
+                cur = (cur_pairs, *self._align_dispatch(cur_pairs))
                 if prev is not None:
                     flush_fut.result()
                     yield prev[1], prev[2]
                 prev = cur
+                cur_pairs = nxt_pairs
             if prev is not None:
                 self._flush_traces(prev[3], prev[0], prev[1])
                 yield prev[1], prev[2]

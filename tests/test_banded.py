@@ -602,6 +602,35 @@ def test_domain_ladder_gcsh_mode():
     assert list(costs) == [oracle.levenshtein(a, b) for a, b in pairs]
 
 
+def test_gcsh_prefetch_streaming():
+    """Streaming with gcsh domains: the prefetched domain builds (batch
+    k+1's handles built during batch k's device waits) are popped by the
+    ladder and give exact results for both cost_iter and align_iter."""
+    from astarpa_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    batches = [
+        [generate.generate_model(900 + 67 * s + 31 * k, 0.1,
+                                 generate.ErrorModel.UNIFORM, 10 * k + s)
+         for s in range(3)]
+        for k in range(3)
+    ]
+    ba = BatchAligner(band_words=4, lane_multiple=128, pallas_interpret=True,
+                      domain_mode="gcsh", domain_min_bp=0, domain_k=10,
+                      domain_r=2)
+    for pairs, (costs, _st) in zip(batches, ba.cost_iter(iter(batches))):
+        assert [int(c) for c in costs] == [
+            oracle.levenshtein(a, b) for a, b in pairs
+        ]
+    assert not ba._domain_prefetch, "prefetched futures must be consumed"
+    for pairs, (res, _st) in zip(batches, ba.align_iter(iter(batches))):
+        for (a, b), (c, cig) in zip(pairs, res):
+            assert c == oracle.levenshtein(a, b)
+            assert cig.verify(a, b) == c
+    assert not ba._domain_prefetch
+
+
 def test_batch_align_fill_native_trace():
     """Device fill pass + native banded traceback produces exact, verified
     CIGARs (skipped when no native toolchain)."""
