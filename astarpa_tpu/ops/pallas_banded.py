@@ -500,9 +500,13 @@ def _default_col_block(SW: int, PP: int, n_max: int, emit: int,
         cb = max(32, min(512, budget_bytes // (PP * 8 * streams)))
     else:
         budget = 10 * 2 ** 20 - (24 + (8 if per_pair else 0)) * SW * PP
-        assert budget > 16 * streams * 8 * PP, (
-            f"band_words={SW} too large for pairs_per_program={PP}; reduce PP"
-        )
+        if budget <= 16 * streams * 8 * PP:
+            # Capacity, not a programming error: callers (the domain
+            # ladder) catch this and fall back to the shared-band path.
+            raise ValueError(
+                f"band_words={SW} too large for pairs_per_program={PP}; "
+                "reduce PP"
+            )
         cb = max(8, min(128, budget // (16 * streams * PP)) // 8 * 8)
     if emit == EMIT_CK:
         cb = max(cb, min(1024, max(n_max, 1)))

@@ -692,10 +692,19 @@ class BatchAligner:
                 idle[np.asarray(pending)] = False
                 if idle.any():
                     sched_arr[: len(fill), idle] = fill[:, None]
-                got = self._domain_kernel(
-                    a0, a1, pb0, pb1, n, m, sw, sched_arr, quantum,
-                    want_ck=results is not None and not direct_rnd,
-                )
+                try:
+                    got = self._domain_kernel(
+                        a0, a1, pb0, pb1, n, m, sw, sched_arr, quantum,
+                        want_ck=results is not None and not direct_rnd,
+                    )
+                except ValueError:
+                    # No per-pair kernel can serve this band (pinned-pp
+                    # residency AND the sliding per-pair column-block model
+                    # both over VMEM — e.g. high-divergence pairs whose
+                    # hulls approach the full Ukkonen band): the domain
+                    # saving is gone, finish on the always-converging
+                    # shared-band ladder below.
+                    break
                 if results is None or direct_rnd:
                     costs = np.asarray(got)[:B0]
                 else:

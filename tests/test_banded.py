@@ -602,6 +602,33 @@ def test_domain_ladder_gcsh_mode():
     assert list(costs) == [oracle.levenshtein(a, b) for a, b in pairs]
 
 
+def test_domain_ladder_unservable_band_falls_back(monkeypatch):
+    """Regression (found by scripts/bench_gcsh_highe.py): at e~25% the
+    per-pair hulls approach the full Ukkonen band and NO per-pair kernel
+    can serve them — pinned-pp residency and the sliding per-pair
+    column-block model both exceed VMEM (the latter now raises ValueError
+    instead of asserting).  The ladder must break to the always-converging
+    shared path, not crash."""
+    from astarpa_tpu.ops import pallas_banded
+
+    with pytest.raises(ValueError):
+        pallas_banded._default_col_block(4096, 128, 10_000,
+                                         pallas_banded.EMIT_COST, True)
+
+    def boom(self, *a, **kw):
+        raise ValueError("no per-pair kernel fits")
+
+    monkeypatch.setattr(BatchAligner, "_domain_kernel", boom)
+    pairs = [generate.uniform_seeded(300 + 17 * s, 0.2, 60 + s)
+             for s in range(3)]
+    ba = BatchAligner(band_words=4, lane_multiple=128, pallas_interpret=True,
+                      domain_mode="gap", domain_min_bp=0)
+    costs = ba.cost(pairs)
+    assert [int(c) for c in costs] == [
+        oracle.levenshtein(a, b) for a, b in pairs
+    ]
+
+
 def test_gcsh_prefetch_streaming():
     """Streaming with gcsh domains: the prefetched domain builds (batch
     k+1's handles built during batch k's device waits) are popped by the
