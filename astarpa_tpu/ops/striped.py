@@ -49,6 +49,10 @@ INF32 = 1 << 30
 
 _NEVER = np.int32(2 ** 30)
 
+# SMEM counter slots for the in-kernel per-stripe capture window.
+_CAP0 = 9
+_CAP1 = 10
+
 
 @functools.lru_cache(maxsize=None)
 def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int, diag=None):
@@ -60,9 +64,12 @@ def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int, diag=None):
       top ownership [own0, own1): stripe s owns the band top while
         lo(c) is inside it; within the window every step is a top event
         EXCEPT absorb steps (the c + lo(c) map skips exactly those),
-      capture window [cap0, cap1): a superset range per stripe (the
-        in-kernel per-pair masks are exact; extra steps are no-ops),
-      block activity flags (n_stripes, n_tb + 1)."""
+      block activity flags (n_stripes, n_tb + 1).
+
+    The per-stripe CAPTURE window is computed in-kernel at stripe init
+    from the (n, loend) vectors (SMEM slots _CAP0/_CAP1) — value-tight
+    even under shard_map tracing, where the old host-side static fallback
+    ran the capture pass every step (~25% of the kernel)."""
     shift = shift_at_array(n_max, S, SW, diag)
     lo = np.concatenate([[0], np.cumsum(shift)]).astype(np.int64)[1:]
     n_words_live = int(lo[-1]) + SW
@@ -88,10 +95,24 @@ def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int, diag=None):
     own1 = np.minimum(c1 + bases + WS, T).astype(np.int32)
     own1 = np.where(c0 >= n_max, own0, own1)  # top never enters stripe
 
-    # Activity: first word's enter to the last capture-diagonal touch.
+    # Activity: first word's enter to the last event that can touch the
+    # stripe.  A word's final-column capture (t = n_p-1+w) always PRECEDES
+    # its absorb — word w sits in pair p's band at column n_p-1 iff
+    # lo(n_p-1) <= w, i.e. exitc(w) > n_p-1 — so absorbing words are done
+    # at their absorb time; only never-absorbed words (the final band)
+    # must wait for the worst-case capture diagonal n_max-1+w.  The old
+    # bound used n_max-1+w for EVERY word, which kept early stripes
+    # active for nearly the whole time grid computing garbage: measured
+    # (500kbp x128, SW=4096) 0.42 -> 0.87 Tcells/s at WS=1024 and 0.95 at
+    # WS=512 (together with the in-kernel capture windows), vs the pinned
+    # kernel's 0.81 at its SW=2048 ceiling.
     t_lo = ent_t[np.arange(n_stripes) * WS].astype(np.int64)
-    last_w = np.minimum((np.arange(n_stripes) + 1) * WS, n_words_live) - 1
-    t_hi = np.minimum(n_max - 1 + last_w + 1, T)
+    t_hi_w = np.where(
+        live,
+        np.where(exitc < n_max, exitc + w_ids, n_max - 1 + w_ids),
+        np.int64(-1),
+    )
+    t_hi = np.minimum(t_hi_w.reshape(n_stripes, WS).max(axis=1) + 1, T)
     blk_active = np.zeros((n_stripes, n_tb + 1), np.int32)
     for s in range(n_stripes):
         if t_lo[s] >= T:
@@ -110,7 +131,7 @@ def _plan_striped(n_max: int, S: int, SW: int, WS: int, TB: int, diag=None):
 
 def _striped_kernel(
     # scalar prefetch
-    ent_ref, abs_ref, own0_ref, own1_ref, cap0_ref, cap1_ref, act_ref,
+    ent_ref, abs_ref, own0_ref, own1_ref, act_ref,
     # inputs (profile/code planes whole in HBM)
     p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
     # outputs (result + the two alternating boundary-carry planes)
@@ -120,7 +141,7 @@ def _striped_kernel(
     *, WS: int, TB: int, SW: int, n_stripes: int, FRONT: int,
 ):
     _striped_body(
-        ent_ref, abs_ref, own0_ref, own1_ref, cap0_ref, cap1_ref, act_ref,
+        ent_ref, abs_ref, own0_ref, own1_ref, act_ref,
         p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
         out_ref, carA_ref, carB_ref,
         vp, vm, aux, acc, tot, sc, p0v, p1v, axv, cin, cst8, dma,
@@ -130,7 +151,7 @@ def _striped_kernel(
 
 def _striped_ck_kernel(
     # scalar prefetch (cost arrays + checkpoint event arrays)
-    ent_ref, abs_ref, own0_ref, own1_ref, cap0_ref, cap1_ref, act_ref,
+    ent_ref, abs_ref, own0_ref, own1_ref, act_ref,
     ckt0_ref, ckw0_ref, ckw0a_ref, ckj0_ref, ckj1_ref,
     # inputs
     p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
@@ -148,7 +169,7 @@ def _striped_ck_kernel(
         vst8=vst8, mst8=mst8, tvst=tvst, dma2=dma2, SWP=SWP, LIVE8=LIVE8,
     )
     _striped_body(
-        ent_ref, abs_ref, own0_ref, own1_ref, cap0_ref, cap1_ref, act_ref,
+        ent_ref, abs_ref, own0_ref, own1_ref, act_ref,
         p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
         out_ref, carA_ref, carB_ref,
         vp, vm, aux, acc, tot, sc, p0v, p1v, axv, cin, cst8, dma,
@@ -157,7 +178,7 @@ def _striped_ck_kernel(
 
 
 def _striped_body(
-    ent_ref, abs_ref, own0_ref, own1_ref, cap0_ref, cap1_ref, act_ref,
+    ent_ref, abs_ref, own0_ref, own1_ref, act_ref,
     p0_ref, p1_ref, code_ref, n_ref, m_ref, loend_ref,
     out_ref, carA_ref, carB_ref,
     vp, vm, aux, acc, tot, sc, p0v, p1v, axv, cin, cst8, dma,
@@ -197,6 +218,18 @@ def _striped_body(
         sc[1] = base  # next word of THIS stripe to enter
         sc[2] = abs_ref[base]  # cached next absorb time
         sc[3] = ent_ref[base]  # cached next enter time
+        # Per-stripe capture window [sc[CAP0], sc[CAP1]) computed IN
+        # KERNEL from the per-pair (n, loend) vectors — the value-tight
+        # union the host computes in dynamic mode, available even when
+        # n/m are traced (shard_map static-window mode): running the
+        # capture pass every step cost ~25% of the kernel there.
+        n_v = n_ref[0, 0]
+        loend_v = loend_ref[0, 0]
+        st_v = n_v - 1 + jnp.maximum(loend_v, base)
+        en_v = n_v - 1 + jnp.minimum(loend_v + SW, base + WS)
+        valid = (en_v > st_v) & (n_v > 0)
+        sc[_CAP0] = jnp.min(jnp.where(valid, st_v, jnp.int32(_NEVER)))
+        sc[_CAP1] = jnp.max(jnp.where(valid, en_v, jnp.int32(0)))
         if ck is not None:
             # Checkpoint capture cursor: current ck index for this stripe
             # and its next capture-begin time (the stripe captures only
@@ -413,7 +446,7 @@ def _striped_body(
                                     _NEVER,
                                 )
 
-                @pl.when((t >= cap0_ref[s]) & (t < cap1_ref[s]))
+                @pl.when((t >= sc[_CAP0]) & (t < sc[_CAP1]))
                 def _capture():
                     w_abs = iota + base
                     on_diag = w_abs == (t + 1) - n[None, :]
@@ -460,7 +493,7 @@ def _striped_call(WS, TB, SW, ntiles, n_stripes, n_tb, T_pad, FRONT,
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=5,
             grid=(ntiles, n_stripes, n_tb),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # p0 (ntiles, nw_pad, 128)
@@ -481,7 +514,7 @@ def _striped_call(WS, TB, SW, ntiles, n_stripes, n_tb, T_pad, FRONT,
                 pltpu.VMEM((WS, 128), jnp.uint32),   # aux
                 pltpu.VMEM((WS, 128), jnp.int32),    # acc
                 pltpu.VMEM((8, 128), jnp.int32),     # tot
-                pltpu.SMEM((8,), jnp.int32),         # counters
+                pltpu.SMEM((12,), jnp.int32),        # counters
                 pltpu.VMEM((WS, 128), jnp.uint32),   # p0v
                 pltpu.VMEM((WS, 128), jnp.uint32),   # p1v
                 pltpu.VMEM((TB, 128), jnp.uint32),   # axv (code chunk)
@@ -515,7 +548,7 @@ def _striped_ck_call(WS, TB, SW, SWP, LIVE8, ntiles, n_stripes, n_tb, T_pad,
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=12,
+            num_scalar_prefetch=10,
             grid=(ntiles, n_stripes, n_tb),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # p0 (ntiles, nw_pad, 128)
@@ -568,34 +601,8 @@ def _striped_ck_call(WS, TB, SW, SWP, LIVE8, ntiles, n_stripes, n_tb, T_pad,
     return jax.jit(call)
 
 
-def _stripe_cap_windows(plan, n, m, SW, WS, T_pad, static_windows):
-    """Per-stripe scalar capture windows (work-skipping supersets; the
-    in-kernel per-pair masks are exact).  static_windows=True returns the
-    full active range per stripe — traced-safe (no n/m value reads)."""
-    n_stripes = plan["n_stripes"]
-    cap0 = np.zeros(n_stripes, np.int32)
-    cap1 = np.zeros(n_stripes, np.int32)
-    if static_windows:
-        for s in range(n_stripes):
-            if plan["blk_active"][s].any():
-                cap1[s] = T_pad
-        return cap0, cap1
-    n_np = np.asarray(n).astype(np.int64)
-    lo = plan["lo"]
-    n_max = len(lo)
-    loend = lo[np.clip(n_np - 1, 0, n_max - 1)]
-    for s in range(n_stripes):
-        st = n_np - 1 + np.maximum(loend, s * WS)
-        en = n_np - 1 + np.minimum(loend + SW, (s + 1) * WS)
-        valid = (en > st) & (n_np > 0)
-        if valid.any():
-            cap0[s] = int(st[valid].min())
-            cap1[s] = int(min(en[valid].max(), T_pad))
-    return cap0, cap1
-
-
 def striped_cost_tpu(
-    a0, a1, pb0, pb1, n, m, band_words: int, stripe_words: int = 1024,
+    a0, a1, pb0, pb1, n, m, band_words: int, stripe_words: int = 512,
     time_block: int = 512, interpret: bool = False,
     static_windows: bool = False, diag=None,
 ):
@@ -605,8 +612,10 @@ def striped_cost_tpu(
     schedule, results <= the sliding kernel's, `band_threshold`
     certifies — but the band height is unbounded: pass
     ``band_words >= S`` for exact full-height DP.  Costs two
-    (T, B) uint32 HBM carry planes.  static_windows=True is the
-    traced-safe mode (see :func:`pinned.pinned_cost_tpu`).
+    (T, B) uint32 HBM carry planes.  static_windows is accepted for
+    API compatibility and ignored: capture windows are computed in-kernel
+    from the value vectors, so the call is always traced-safe AND
+    value-tight.
     """
     n_max, B = a0.shape
     S = pb0.shape[0]
@@ -616,13 +625,9 @@ def striped_cost_tpu(
     WS = stripe_words
     assert WS % 8 == 0
 
-    plan = _plan_striped(n_max, S, SW, WS, time_block, diag)
-    cap0, cap1 = _stripe_cap_windows(
-        plan, n, m, SW, WS, plan["T_pad"], static_windows
-    )
     return _striped_cost_entry(
         n_max, S, SW, WS, time_block, ntiles, interpret, diag
-    )(a0, a1, pb0, pb1, n, m, cap0, cap1)
+    )(a0, a1, pb0, pb1, n, m)
 
 
 @functools.lru_cache(maxsize=None)
@@ -642,7 +647,7 @@ def _striped_cost_entry(n_max, S, SW, WS, time_block, ntiles, interpret,
         WS, TB, SW, ntiles, n_stripes, n_tb, T_pad, FRONT, interpret
     )
 
-    def fn(a0, a1, pb0, pb1, n, m, cap0, cap1):
+    def fn(a0, a1, pb0, pb1, n, m):
         n_j = jnp.asarray(n).astype(jnp.int32)
         m_j = jnp.asarray(m).astype(jnp.int32)
         loend_j = jnp.take(
@@ -679,8 +684,6 @@ def _striped_cost_entry(n_max, S, SW, WS, time_block, ntiles, interpret,
             jnp.asarray(np.concatenate([plan["abs_t"], np.full(8, _NEVER)])),
             jnp.asarray(plan["own0"]),
             jnp.asarray(plan["own1"]),
-            jnp.asarray(cap0),
-            jnp.asarray(cap1),
             jnp.asarray(plan["blk_active"]),
             jnp.moveaxis(pb0j.reshape(nw_pad, ntiles, 128), 1, 0),
             jnp.moveaxis(pb1j.reshape(nw_pad, ntiles, 128), 1, 0),
@@ -698,7 +701,7 @@ def _striped_cost_entry(n_max, S, SW, WS, time_block, ntiles, interpret,
 
 def striped_ck_tpu(
     a0, a1, pb0, pb1, n, m, band_words: int, col_block: int | None = None,
-    stripe_words: int = 1024, time_block: int = 512, interpret: bool = False,
+    stripe_words: int = 512, time_block: int = 512, interpret: bool = False,
     static_windows: bool = False, diag=None,
 ):
     """Striped banded cost + per-block window checkpoints: big-band (or
@@ -724,16 +727,9 @@ def striped_ck_tpu(
     CB = col_block if col_block else max(1024, SWP)
     CB = min(max(CB, SWP), max(n_max, 1))
 
-    plan = _plan_striped(n_max, S, SW, WS, time_block, diag)
-    # Capture anti-diagonals can trail the last compute step by up to SWP
-    # steps: the entry extends the time grid by one block (see below), so
-    # the cap windows clamp against the EXTENDED T_pad.
-    cap0, cap1 = _stripe_cap_windows(
-        plan, n, m, SW, WS, plan["T_pad"] + plan["TB"], static_windows
-    )
     return _striped_ck_entry(
         n_max, S, SW, WS, time_block, CB, ntiles, interpret, diag
-    )(a0, a1, pb0, pb1, n, m, cap0, cap1)
+    )(a0, a1, pb0, pb1, n, m)
 
 
 @functools.lru_cache(maxsize=None)
@@ -815,7 +811,7 @@ def _striped_ck_entry(n_max, S, SW, WS, time_block, CB, ntiles, interpret,
         interpret,
     )
 
-    def fn(a0, a1, pb0, pb1, n, m, cap0, cap1):
+    def fn(a0, a1, pb0, pb1, n, m):
         n_j = jnp.asarray(n).astype(jnp.int32)
         m_j = jnp.asarray(m).astype(jnp.int32)
         loend_j = jnp.take(
@@ -850,8 +846,6 @@ def _striped_ck_entry(n_max, S, SW, WS, time_block, CB, ntiles, interpret,
             jnp.asarray(np.concatenate([plan["abs_t"], np.full(8, _NEVER)])),
             jnp.asarray(plan["own0"]),
             jnp.asarray(plan["own1"]),
-            jnp.asarray(cap0),
-            jnp.asarray(cap1),
             jnp.asarray(blk_active),
             jnp.asarray(ckt0),
             jnp.asarray(ckw0),
