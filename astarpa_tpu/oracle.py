@@ -163,6 +163,20 @@ def levenshtein_myers(a: bytes, b: bytes) -> int:
     hp = np.ones(n, np.uint32)
     hm = np.zeros(n, np.uint32)
     native.block_compute(a0, a1, pb0, pb1, vp, vm, hp, hm)
-    # block_compute leaves the bottom-row horizontal deltas per column in
-    # hp/hm; D(n, m) = m + sum of them.
-    return int(m + hp.astype(np.int64).sum() - hm.astype(np.int64).sum())
+    # D(n, m) from the FINAL COLUMN's vertical deltas masked to row m:
+    # D(n, 0) = n, plus the first m v-bits.  Never read the padded bottom
+    # row (S*32): pad char 0xFF 2-bit-encodes to code 3 == 'G', so pad
+    # rows can MATCH real G's and the bottom-row horizontal deltas then
+    # under-report the true distance (found by scripts/profile_direct.py:
+    # 12/256 10kbp e=5% pairs off by one; regression test in
+    # tests/test_extras.py).  The banded kernels are immune — they mask
+    # every capture to row m.
+    vpos = int(sum(
+        bin(int(vp[w]) & ((1 << min(32, m - w * 32)) - 1)).count("1")
+        for w in range((m + 31) // 32)
+    ))
+    vneg = int(sum(
+        bin(int(vm[w]) & ((1 << min(32, m - w * 32)) - 1)).count("1")
+        for w in range((m + 31) // 32)
+    ))
+    return int(n + vpos - vneg)

@@ -35,14 +35,20 @@ costs = [oracle.levenshtein_myers(a, b) for a, b in pairs]
 print(f"oracle costs: {time.perf_counter()-t0:.1f}s "
       f"(d mean {np.mean(costs):.0f})", flush=True)
 
-ns = np.array([len(a) for a, _ in pairs], np.int32)
-ms = np.array([len(b) for _, b in pairs], np.int32)
-n_max = int(ns.max())
-S = n_words(int(ms.max()))
-sw = 8
+from astarpa_tpu.ops.pallas_myers import pack_batch_staggered
+
+(a0, a1, pb0, pb1, nsj, msj), B0 = pack_batch_staggered(pairs,
+                                                        lane_multiple=8)
+n_max, S = a0.shape[0], pb0.shape[0]
+# The trace needs the BANDED result (== oracle once the band is wide
+# enough), not just cost <= threshold: grow until the banded kernel
+# reproduces every oracle cost (the runner's ladder does this with
+# certificates).
+sw = 16
 while sw < S:
-    thr = banded.band_threshold(sw, ns, ms, n_max, S * 32)
-    if (np.asarray(costs) <= thr).all():
+    bc = np.asarray(banded.banded_cost(a0, a1, pb0, pb1, nsj, msj,
+                                       band_words=sw))[:B0]
+    if (bc == np.asarray(costs)).all():
         break
     sw *= 2
 sw = min(sw, S)

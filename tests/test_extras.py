@@ -179,3 +179,26 @@ def test_compressed_history_exact_and_sparse():
     p2 = h.push(TracebackState.from_coords(4, 4), p1)  # del parent, d=0
     cig = h.traceback(TracebackState.from_coords(6, 5), p2)
     assert cig.to_string() == "2=1X1=1D1="
+
+
+def test_levenshtein_myers_pad_g_regression():
+    """Regression: the full-height Myers oracle read the PADDED bottom row
+    (S*32), and pad char 0xFF 2-bit-encodes to code 3 == 'G' — pad rows
+    matched real G's and the extended-row distance under-reported the
+    true one (found via scripts/profile_direct.py: 12/256 10kbp pairs off
+    by one; a trailing-G input is the minimal shape).  The oracle now
+    reads the final column's vertical deltas masked to row m."""
+    from astarpa_tpu import native, oracle
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    a = b"A" + b"G" * 40
+    bb = b"A"
+    assert oracle.levenshtein(a, bb) == 40
+    assert oracle.levenshtein_myers(a, bb) == 40
+    # m > n with an interior G run (the generated-pair failure class).
+    a2 = b"ACGTACGG" * 6
+    b2 = a2 + b"GG"
+    assert oracle.levenshtein_myers(a2, b2) == oracle.levenshtein(a2, b2)
