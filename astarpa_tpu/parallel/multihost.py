@@ -83,6 +83,7 @@ class MultiHostRunner:
             stats.band_retries += cstats.band_retries
             stats.cells_computed += cstats.cells_computed
             stats.aligned_bp += cstats.aligned_bp
+            stats.direct_traces += cstats.direct_traces
 
         try:
             if with_cigars:

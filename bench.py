@@ -211,6 +211,13 @@ def main() -> None:
             "ref_core_gbps": round(best, 5),
             "ref_core_preset": best_name,
             "cost_cigar_vs_ref_core": round(align_gbps / best, 2),
+            "ref_core_note": (
+                "repo's own A*PA2 twin (Python driver + native block "
+                "kernels); its Python orchestration understates the Rust "
+                "reference by roughly an order of magnitude, so read this "
+                "with the cost-only vs_baseline ratio (reference kernel "
+                "cells/ns) alongside"
+            ),
         }
     except Exception as exc:  # pragma: no cover - bench resilience
         ref_core = {"ref_core_error": repr(exc)[:200]}
