@@ -157,8 +157,24 @@ class MatchBuilder:
         return Matches(self.seeds, self.matches)
 
 
-def find_matches(a: bytes, b: bytes, config: MatchConfig, transform_filter: bool) -> Matches:
-    """Dispatch on length config and r (`matches.rs:17-39`)."""
+def find_matches(
+    a: bytes,
+    b: bytes,
+    config: MatchConfig,
+    transform_filter: bool,
+    layout: str = "hash",
+) -> Matches:
+    """Dispatch on length config and r (`matches.rs:17-39`).
+
+    ``layout`` selects the r=1 exact-match data structure (the reference
+    benches these against each other in `exact.rs`): "hash" (per-key
+    lists, `hash_a`), "hash_b" (roles swapped, `hash_b`), "csr" (one flat
+    qgram-sorted position vector, `hash_a_single`), "qgram_index" (dense
+    4^k offset table, `hash_a_qgram_index`), "sliding_window"
+    (transform-bounded rolling window, `hash_a_sliding_window`).  All
+    layouts produce identical Matches; parity is enforced by
+    `tests/test_match_layouts.py`.
+    """
     if config.max_matches is not None:
         # Variable-k minimal unique matches; no transform filter, like the
         # reference's MUM path (`suffix_array.rs` MatchBuilder::new(.., false)).
@@ -167,7 +183,9 @@ def find_matches(a: bytes, b: bytes, config: MatchConfig, transform_filter: bool
         return minimal_unique_matches(a, b, config.r, config.max_matches)
     ca, cb = seq_to_codes(a), seq_to_codes(b)
     if config.r == 1:
-        return _find_exact(ca, cb, config, transform_filter)
+        return EXACT_LAYOUTS[layout](ca, cb, config, transform_filter)
+    if layout != "hash":
+        raise NotImplementedError("layout variants are r=1 only (exact.rs)")
     if config.r == 2:
         return _find_inexact(ca, cb, config, transform_filter)
     raise NotImplementedError("r must be 1 or 2")
@@ -192,6 +210,143 @@ def _find_exact(ca, cb, config: MatchConfig, transform_filter: bool) -> Matches:
                 )
     builder.sort()
     return builder.finish()
+
+
+def _find_exact_hash_b(ca, cb, config: MatchConfig, transform_filter: bool) -> Matches:
+    """r=1 `hash_b` (`exact.rs:27-38`): roles swapped — hash ALL sliding
+    k-mers of ``b`` (k times more entries), stream ``a``'s disjoint seeds
+    in reverse.  Typically 2-3x slower than hash_a (the reference's module
+    comment, `exact.rs:5-7`); kept as the layout A/B."""
+    k = config.k
+    builder = MatchBuilder(ca, cb, config, transform_filter)
+    table: dict[int, list[int]] = {}
+    for j, q in enumerate(qgrams_of(cb, k).tolist()):
+        table.setdefault(q, []).append(j)
+    starts, aq = a_qgrams(ca, k)
+    for i, q in zip(starts.tolist()[::-1], aq.tolist()[::-1]):
+        hits = table.get(q)
+        if hits:
+            for j in hits:
+                builder.push(Match(Pos(i, j), Pos(i + k, j + k), 0, 1))
+    builder.sort()
+    return builder.finish()
+
+
+def _find_exact_csr(ca, cb, config: MatchConfig, transform_filter: bool) -> Matches:
+    """r=1 CSR layout (`exact.rs:105-157` `hash_a_single`): instead of a
+    per-key list, ONE flat position vector ordered by q-gram plus offset
+    ranges (the reference builds it count -> prefix-sum -> fill; the numpy
+    idiom is a stable argsort of the seed q-grams, which yields the same
+    vector, with b's windows locating their range by binary search)."""
+    k = config.k
+    builder = MatchBuilder(ca, cb, config, transform_filter)
+    starts, aq = a_qgrams(ca, k)
+    order = np.argsort(aq, kind="stable")
+    sq = aq[order]
+    pos = starts[order]
+    bq = qgrams_of(cb, k)
+    lo = np.searchsorted(sq, bq, side="left")
+    hi = np.searchsorted(sq, bq, side="right")
+    for j in range(len(bq) - 1, -1, -1):
+        for i in pos[lo[j]:hi[j]].tolist():
+            builder.push(Match(Pos(i, j), Pos(i + k, j + k), 0, 1))
+    builder.sort()
+    return builder.finish()
+
+
+def _find_exact_qgram_index(ca, cb, config: MatchConfig, transform_filter: bool) -> Matches:
+    """r=1 dense q-gram index (`exact.rs:193-243`): offsets live in a
+    4^k-entry table instead of a hashmap — slower than hashing when 4^k
+    exceeds the input size (the reference's own comment, `exact.rs:194`),
+    kept as the layout A/B."""
+    k = config.k
+    if 4 ** k > (1 << 28):
+        raise ValueError("qgram_index allocates a 4^k offset table; k <= 14")
+    builder = MatchBuilder(ca, cb, config, transform_filter)
+    starts, aq = a_qgrams(ca, k)
+    off = np.zeros(4 ** k + 1, np.int64)
+    np.cumsum(np.bincount(aq, minlength=4 ** k), out=off[1:])
+    pos = starts[np.argsort(aq, kind="stable")]
+    bq = qgrams_of(cb, k)
+    for j in range(len(bq) - 1, -1, -1):
+        q = int(bq[j])
+        for i in pos[off[q]:off[q + 1]].tolist():
+            builder.push(Match(Pos(i, j), Pos(i + k, j + k), 0, 1))
+    builder.sort()
+    return builder.finish()
+
+
+def _find_exact_sliding_window(ca, cb, config: MatchConfig, transform_filter: bool) -> Matches:
+    """r=1 transform-bounded sliding window (`exact.rs:356-472`
+    `hash_a_sliding_window`): stream ``b`` right-to-left building its
+    q-gram incrementally; the hash table holds only the a-seeds whose
+    transformed position can still pass the GCSH filter at the current j
+    (an over-approximating i-window, re-checked every 2^6 rows), so the
+    table stays O(window) instead of O(n/k).  Requires the transform
+    filter (asserted in the reference too) — `MatchBuilder.push` still
+    applies the exact filter, the window only bounds table size.
+    """
+    assert transform_filter, "sliding_window requires the transform filter"
+    k = config.k
+    builder = MatchBuilder(ca, cb, config, transform_filter)
+    t = builder.transform_target
+    CHECK_EACH_J_LAYERS = 6
+
+    # The reference derives an approximate i-window from i-per-j slope
+    # bounds (`exact.rs:395-405`; `as usize` wrap makes negative target
+    # components unbounded, which is what keeps it sound there).  Here
+    # each seed's EXACT passing j-interval comes from the potential
+    # array instead:  T(i,j) = (i-j-p(i), j-i-p(i)) <= t componentwise
+    # <=>  i - p(i) - t.i <= j <= i + p(i) + t.j.  Both bounds are
+    # monotone in i (p drops by r per seed while i grows by k > r), so
+    # the same two descending-i pointers maintain the window.
+    starts, aq = a_qgrams(ca, k)
+    pot = builder.seeds.potential[starts]
+    jmins = (starts - pot - t.i).tolist()[::-1]
+    jmaxs = (starts + pot + t.j).tolist()[::-1]
+    seeds_desc = list(zip(starts.tolist()[::-1], aq.tolist()[::-1]))
+    ins_ptr = 0  # next seed (descending i) to insert into the table
+    rem_ptr = 0  # next inserted seed (descending i) to evict
+    table: dict[int, list[int]] = {}
+    m = len(cb)
+    qb = 0
+    slack = (1 << CHECK_EACH_J_LAYERS) - 1  # rows until the next check
+    for j in range(m - 1, -1, -1):
+        if (m - 1 - j) & ((1 << CHECK_EACH_J_LAYERS) - 1) == 0:
+            # Evict seeds whose whole j-interval is above the rows left.
+            # Entries in [rem_ptr, ins_ptr) are exactly the table's
+            # contents, so the eviction pointer never passes insertion.
+            while rem_ptr < ins_ptr and jmins[rem_ptr] > j:
+                i, q = seeds_desc[rem_ptr]
+                rem_ptr += 1
+                v = table[q]
+                if len(v) == 1:
+                    del table[q]
+                else:
+                    v.remove(i)
+            # Insert seeds whose interval reaches the upcoming rows.
+            while ins_ptr < len(seeds_desc) and jmaxs[ins_ptr] >= j - slack:
+                i, q = seeds_desc[ins_ptr]
+                ins_ptr += 1
+                table.setdefault(q, []).append(i)
+        qb = (qb >> 2) | (int(cb[j]) << (2 * (k - 1)))
+        if j + k > m:
+            continue
+        hits = table.get(qb)
+        if hits:
+            for i in hits:
+                builder.push(Match(Pos(i, j), Pos(i + k, j + k), 0, 1))
+    builder.sort()
+    return builder.finish()
+
+
+EXACT_LAYOUTS = {
+    "hash": _find_exact,
+    "hash_b": _find_exact_hash_b,
+    "csr": _find_exact_csr,
+    "qgram_index": _find_exact_qgram_index,
+    "sliding_window": _find_exact_sliding_window,
+}
 
 
 def _mutations(k: int, qgram: int) -> tuple[list[int], list[int], list[int]]:
