@@ -166,6 +166,59 @@ class AffineGapCostI(HeuristicInstance):
         return p + abs(d)
 
 
+@dataclass(frozen=True)
+class SimpleAffineCost:
+    """Substitution / gap-open / gap-extend costs (`distances.rs:389-394`)."""
+
+    sub: int
+    open: int
+    extend: int
+
+
+@dataclass
+class AffineGapSeedCostI(HeuristicInstance):
+    """Distance accounting for BOTH the affine gap cost and the seed cost
+    of crossing ``p`` seeds over ``d`` diagonals (`distances.rs:383-647`;
+    only the `formula` and per-branch arms are live there — the bulk of
+    the reference function is commented-out exploration, kept as such).
+    Assumes unit-style costs (the reference notes x=1, o=1, e=1, r=1) and
+    matchless seeds (each crossed seed costs its full potential ``r``)."""
+
+    params: "AffineGapSeedCost"
+    target: Pos
+
+    def h(self, pos: Pos) -> int:
+        return self.distance(pos, self.target)
+
+    def distance(self, from_pos: Pos, to_pos: Pos) -> int:
+        k, r, c = self.params.k, self.params.r, self.params.c
+        # Diagonals to change / whole seeds crossed (`distances.rs:434-441`).
+        d = (to_pos.j - to_pos.i) - (from_pos.j - from_pos.i)
+        p = max(to_pos.i // k - -(-from_pos.i // k), 0)
+        if d == 0:
+            return p * r
+        if p == 0:
+            return c.open + c.extend * abs(d)
+        if self.params.formula:
+            # `distances.rs:614-619`.
+            seeds = c.open + c.extend + (p - 1) * r
+            c0 = min(max(p * r, seeds) + c.extend, c.open) - c.extend * d
+            c1 = min(max(p * r, seeds - c.extend), p * c.open) + c.extend * d
+            return max(c0, c1, max(p * r, seeds))
+        if d > 0:
+            # Insertions: all in one seed, or spread evenly
+            # (`distances.rs:622-637`).
+            c1 = c.open + c.extend * d + (p - 1) * r
+            d0, count_d1 = divmod(d, p)
+            count_d0 = p - count_d1
+            c2 = count_d0 * ((0 if d0 == 0 else c.open) + c.extend * d0) + \
+                count_d1 * (c.open + c.extend * (d0 + 1))
+            return min(c1, c2)
+        # Deletions (`distances.rs:640-645`; the reference's own FIXME —
+        # the seed term is dropped, keeping only the gap lower bound).
+        return c.open + c.extend * (-d)
+
+
 def _char_counts(a: bytes):
     """Prefix char counts: counts[i][c] = #occurrences of code c in a[:i]."""
     import numpy as np
@@ -247,5 +300,20 @@ class AffineGapCost:
 
     def build(self, a: bytes, b: bytes) -> AffineGapCostI:
         return AffineGapCostI(self.k, Pos(len(a), len(b)))
+
+    name = "AffineGap"
+
+
+@dataclass
+class AffineGapSeedCost:
+    """`distances.rs:395-400` — gap + seed distance for affine costs."""
+
+    k: int
+    r: int
+    c: SimpleAffineCost
+    formula: bool = False
+
+    def build(self, a: bytes, b: bytes) -> AffineGapSeedCostI:
+        return AffineGapSeedCostI(self, Pos(len(a), len(b)))
 
     name = "AffineGap"

@@ -202,3 +202,45 @@ def test_levenshtein_myers_pad_g_regression():
     a2 = b"ACGTACGG" * 6
     b2 = a2 + b"GG"
     assert oracle.levenshtein_myers(a2, b2) == oracle.levenshtein(a2, b2)
+
+
+def test_affine_gap_seed_cost():
+    """AffineGapSeedCost (`distances.rs:383-647`, live arms): gap + seed
+    distance for affine costs, branch and formula variants."""
+    from astarpa_tpu.heuristic.distances import (
+        AffineGapSeedCost,
+        SimpleAffineCost,
+    )
+    from astarpa_tpu.types import Pos
+
+    c = SimpleAffineCost(sub=1, open=1, extend=1)
+    h = AffineGapSeedCost(k=3, r=1, c=c).build(b"A" * 9, b"A" * 9)
+    hf = AffineGapSeedCost(k=3, r=1, c=c, formula=True).build(b"A" * 9, b"A" * 9)
+    # Same diagonal: p seeds crossed at cost r each.
+    assert h.distance(Pos(0, 0), Pos(9, 9)) == 3
+    assert h.distance(Pos(1, 1), Pos(8, 8)) == 1  # seeds in [ceil(1/3), floor(8/3)) = [1, 2)
+    # No seeds: pure affine gap.
+    assert h.distance(Pos(7, 7), Pos(8, 11)) == 1 + 3
+    assert h.distance(Pos(7, 9), Pos(8, 8)) == 1 + 2
+    # Insertions across seeds: all-in-one vs spread evenly (min of the two).
+    # p=2, d=3: one-seed = o + e*3 + (p-1)*r = 5; even (2+1 split) =
+    # (o+2e) + (o+e) = 5.
+    assert h.distance(Pos(0, 0), Pos(6, 9)) == 5
+    assert hf.distance(Pos(0, 0), Pos(6, 9)) == 5
+    # Deletions keep only the gap lower bound (the reference's own FIXME).
+    assert h.distance(Pos(0, 3), Pos(9, 9)) == 1 + 3
+    # h() is distance-to-target.
+    assert h.h(Pos(0, 0)) == h.distance(Pos(0, 0), Pos(9, 9))
+    # Wider costs: open=3, extend=2.
+    c2 = SimpleAffineCost(sub=1, open=3, extend=2)
+    h2 = AffineGapSeedCost(k=3, r=1, c=c2).build(b"A" * 12, b"A" * 12)
+    # p=4 seeds, d=2 insertions: one-seed = 3+4+3 = 10; even spread over 4
+    # seeds (two seeds get 1 each) = 2*(3+2) = 10.
+    assert h2.distance(Pos(0, 0), Pos(12, 14)) == 10
+    # Non-negative over a grid of states for both variants.
+    for args in ((3, 1, c, False), (3, 1, c, True), (4, 2, c2, False),
+                 (4, 2, c2, True)):
+        hh = AffineGapSeedCost(*args).build(b"A" * 16, b"A" * 16)
+        for fi in range(0, 16, 3):
+            for fj in range(0, 16, 3):
+                assert hh.distance(Pos(fi, fj), Pos(16, 16)) >= 0, (args, fi, fj)
