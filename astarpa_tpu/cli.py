@@ -74,6 +74,11 @@ def make_parser() -> argparse.ArgumentParser:
         default="uniform",
         choices=[m.value for m in generate.ErrorModel],
     )
+    p.add_argument(
+        "--rng", default="numpy", choices=["numpy", "chacha8"],
+        help="generator backend; chacha8 = the reference corpora's RNG "
+             "family, reproducible from (seed, stream) alone",
+    )
     return p
 
 
@@ -131,7 +136,7 @@ def main(argv=None) -> int:
     else:
         pairs = generate.generate_batch(
             args.cnt, args.length, args.error_rate,
-            generate.ErrorModel(args.error_model), args.seed,
+            generate.ErrorModel(args.error_model), args.seed, rng=args.rng,
         )
 
     out = open(args.output, "w") if args.output else sys.stdout

@@ -6,11 +6,17 @@ the reference at `pa-test/src/lib.rs:4,43-48` and `pa-bin/src/lib.rs:64`):
 error models ``Uniform / NoisyInsert / NoisyDelete / SymmetricRepeat``.
 
 The exact mutation procedure of `pa-generate` (ChaCha8-seeded) is not part of
-this repo's reference checkout, so the *statistical* shape is reproduced here
-(same parameters, deterministic per seed via NumPy PCG64) rather than the
-bit-exact streams; all correctness tests compare against our own oracle on
-the generated pairs, exactly like the reference compares against
+this repo's reference checkout (git-only dependency), so the *statistical*
+shape is reproduced here (same parameters, deterministic per seed) rather
+than its bit-exact streams; all correctness tests compare against our own
+oracle on the generated pairs, exactly like the reference compares against
 `triple_accel` (`pa-test/src/lib.rs:74`).
+
+Two deterministic backends: ``rng="numpy"`` (default, NumPy PCG64) and
+``rng="chacha8"`` — the reference's RNG family (`rand_chacha::ChaCha8Rng`
+with `rand_core`'s seed_from_u64 expansion, see `chacha.py`), making
+corpora reproducible cross-platform from (seed, stream) with no NumPy
+bit-generator dependence.
 """
 
 from __future__ import annotations
@@ -67,11 +73,26 @@ def _mutate_indel_runs(
         budget -= run
 
 
+def _make_rng(seed: int, rng: str, stream: int = 0):
+    if rng == "numpy":
+        # One shared PCG64 stream; `stream` folds into the seed sequence.
+        return np.random.default_rng((seed, stream) if stream else seed)
+    if rng == "chacha8":
+        from .chacha import ChaCha8Rng
+
+        return ChaCha8Rng.seed_from_u64(seed, stream=stream)
+    raise ValueError(f"unknown rng backend {rng!r}")
+
+
 def generate_model(
-    n: int, e: float, model: ErrorModel = ErrorModel.UNIFORM, seed: int = 31415
+    n: int, e: float, model: ErrorModel = ErrorModel.UNIFORM, seed: int = 31415,
+    rng: str = "numpy",
 ) -> tuple[bytes, bytes]:
     """Generate a pair ``(a, b)`` where ``b`` is ``a`` mutated at rate ``e``."""
-    rng = np.random.default_rng(seed)
+    return _generate_with(n, e, model, _make_rng(seed, rng))
+
+
+def _generate_with(n: int, e: float, model: ErrorModel, rng) -> tuple[bytes, bytes]:
     num_errors = int(np.ceil(e * n))
 
     if model == ErrorModel.SYMMETRIC_REPEAT:
@@ -117,8 +138,19 @@ def generate_batch(
     e: float,
     model: ErrorModel = ErrorModel.UNIFORM,
     seed: int = 31415,
+    rng: str = "numpy",
 ) -> list[tuple[bytes, bytes]]:
     """Generate `count` independent pairs (seeded deterministically)."""
+    if rng == "chacha8":
+        # ChaCha-native batch seeding: pair i draws from stream i+1 of the
+        # same key (streams are independent by construction).
+        from .chacha import ChaCha8Rng
+
+        out = []
+        for i in range(count):
+            r = ChaCha8Rng.seed_from_u64(seed, stream=i + 1)
+            out.append(_generate_with(n, e, model, r))
+        return out
     ss = np.random.SeedSequence(seed)
     return [
         generate_model(n, e, model, int(child.generate_state(1)[0]))
