@@ -67,6 +67,10 @@ class BatchStats:
     # Pairs whose CIGAR came from the direct whole-pair DT trace (no
     # checkpoint kernel, no checkpoint readback).
     direct_traces: int = 0
+    # Label of the last device kernel dispatched for this run (snapshot of
+    # the module-level LAST_KERNEL taken at dispatch time; the supported
+    # introspection surface for benches/tools).
+    kernel: str | None = None
 
 
 @dataclass
@@ -326,6 +330,7 @@ class BatchAligner:
             sw = S
         costs_dev = self._kernel(a0, a1, pb0, pb1, n, m, sw, S, diag)
         stats.cells_computed += n_max * sw * W * len(members)
+        stats.kernel = LAST_KERNEL
         return dict(lad=lad, costs_dev=costs_dev, sw=sw, S=S, diag=diag)
 
     def _rung_finish(self, pairs, out, stats: BatchStats, rung: dict):
@@ -705,6 +710,7 @@ class BatchAligner:
                     # saving is gone, finish on the always-converging
                     # shared-band ladder below.
                     break
+                stats.kernel = LAST_KERNEL
                 if results is None or direct_rnd:
                     costs = np.asarray(got)[:B0]
                 else:
@@ -1144,6 +1150,7 @@ class BatchAligner:
                         a0, a1, pb0, pb1, n, m, sw, CB, pp, diag
                     )
                 stats.cells_computed += n_max * sw * W * len(members)
+                stats.kernel = LAST_KERNEL
                 # Optimistic readback: start streaming every member lane's
                 # checkpoints BEFORE the certification sync — the transfers
                 # hide the cost-readback latency, and the common case (a

@@ -252,7 +252,6 @@ def main() -> None:
         # so this is one-time).
         ba5.cost(c5_pairs)
         ba5.cost(c5_pairs)
-        runner_mod.LAST_KERNEL = None
         t0 = time.perf_counter()
         costs5, stats5 = ba5.cost_with_stats(c5_pairs)
         c5_single = time.perf_counter() - t0
@@ -281,7 +280,7 @@ def main() -> None:
             "config5_mbps": round(128 * 500_000 / c5_dt / 1e6, 2),
             "config5_s": round(c5_dt, 2),
             "config5_single_s": round(c5_single, 2),
-            "config5_kernel": runner_mod.LAST_KERNEL,
+            "config5_kernel": stats5.kernel,
             "config5_note": (
                 "500kbp e=15% batch=128 cost, pipelined cost_iter steady "
                 "state (min steady period of a 4-batch stream), "
