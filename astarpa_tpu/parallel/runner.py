@@ -1776,6 +1776,13 @@ PINNED_MIN_SW = 640
 #: even at TB=256 (the kernel's own guard re-checks and the sliding
 #: HBM-window kernel takes over).
 PINNED_MAX_SW = 2240
+#: From this band up, the striped HBM-carry kernel BEATS the pinned kernel
+#: on shared schedules and the cost path tries it first (measured same-run
+#: A/Bs, 500kbp x128, scripts/bench_striped.py: SW=1024 pinned 0.80 vs
+#: striped 0.69 Tcells/s; SW=1280 pinned 0.68 vs striped 0.75; SW=1536
+#: pinned 0.60 vs striped 0.79; SW=2048 pinned 0.67 vs striped 0.84 —
+#: the pinned time-block auto-shrink is what turns the corner).
+STRIPED_MIN_SW = 1280
 #: Per-pair schedules route to the pinned kernel (ops/pinned.py per-pair
 #: mode) above this band: the sliding per-pair kernel drops to PP=128 and
 #: ~0.35 Tcells/s there, while the pinned layout keeps full tiles.  Its
@@ -1799,19 +1806,21 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool,
     B = a0.shape[1]
     on_tpu = jax.default_backend() == "tpu"
     pp = _select_pp(B, sw)
-    # Pinned routing: big shared bands always; smaller bands too when the
+    # Pinned routing: big shared bands; smaller bands too when the
     # sliding kernel's pairs-per-program collapses (tiny batches) — pinned
     # keeps full sublane tiles at any band height.
     pinned_band = PINNED_MIN_SW <= sw <= PINNED_MAX_SW or (
         pp < 512 and 64 <= sw <= PINNED_MAX_SW and sw % 8 == 0
     )
-    if (
-        PINNED_ENABLED
-        and on_tpu
-        and not interpret
-        and pinned_band
-        and B % 128 == 0
-    ):
+    # Striped routing: always past the pinned VMEM ceiling, and FIRST from
+    # the measured crossover (the pinned kernel's time-block auto-shrink
+    # degrades it above ~1.5k words while the striped kernel's fixed
+    # stripe overhead keeps amortizing).
+    striped_band = sw > PINNED_MAX_SW or sw >= STRIPED_MIN_SW
+
+    def _try_pinned():
+        if not pinned_band:
+            return None
         from ..ops.pinned import pinned_cost_tpu
 
         # Traced inputs (inside shard_map / an outer jit) use static
@@ -1822,19 +1831,15 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool,
                 a0, a1, pb0, pb1, n, m, band_words=sw,
                 static_windows=isinstance(a0, jax.core.Tracer), diag=diag,
             )
-            LAST_KERNEL = "pinned"
-            return out
         except (ValueError, jax.errors.JaxRuntimeError):
-            pass  # residency over VMEM for this bucket; sliding below
-    if (
-        PINNED_ENABLED
-        and on_tpu
-        and not interpret
-        and sw > PINNED_MAX_SW
-        and B % 128 == 0
-    ):
-        # Bands beyond the pinned VMEM ceiling (including the full-height
-        # ladder clamp): HBM-striped state, no band ceiling.
+            return None  # residency over VMEM for this bucket
+        return "pinned", out
+
+    def _try_striped():
+        if not striped_band:
+            return None
+        # HBM-striped state: no band ceiling (includes the full-height
+        # ladder clamp).
         from ..ops.striped import striped_cost_tpu
 
         try:
@@ -1842,10 +1847,21 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool,
                 a0, a1, pb0, pb1, n, m, band_words=sw,
                 static_windows=isinstance(a0, jax.core.Tracer), diag=diag,
             )
-            LAST_KERNEL = "striped"
-            return out
         except (ValueError, jax.errors.JaxRuntimeError):
-            pass
+            return None
+        return "striped", out
+
+    if PINNED_ENABLED and on_tpu and not interpret and B % 128 == 0:
+        order = (
+            (_try_striped, _try_pinned)
+            if sw >= STRIPED_MIN_SW
+            else (_try_pinned, _try_striped)
+        )
+        for attempt in order:
+            got = attempt()
+            if got is not None:
+                LAST_KERNEL, out = got
+                return out
     use_pallas = pp >= 128 and (on_tpu or interpret)
     LAST_KERNEL = "pallas" if use_pallas else "jnp"
     if use_pallas:
