@@ -157,7 +157,10 @@ class ChaCha8Rng:
         cnt = int(np.prod(size))
         out = np.empty(cnt, dtype=np.int64)
         filled = 0
-        t = (-n) % n  # reject l < t to remove modulo bias
+        # Reject low halves < t to remove modulo bias.  NB: this must be
+        # 2^32 mod n computed in *unbounded* Python ints — the C idiom
+        # `(-n) % n` relies on u32 wraparound and is identically 0 here.
+        t = (1 << 32) % n
         while filled < cnt:
             x = self.words(cnt - filled).astype(np.uint64)
             m = x * np.uint64(n)
@@ -168,7 +171,7 @@ class ChaCha8Rng:
         return (low + out).reshape(size)
 
     def _below_scalar(self, n: int) -> int:
-        t = (-n) % n
+        t = (1 << 32) % n  # 2^32 mod n (unbounded ints; see integers())
         while True:
             m = self.next_u32() * n
             if (m & 0xFFFFFFFF) >= t:

@@ -17,6 +17,10 @@ Two deterministic backends: ``rng="numpy"`` (default, NumPy PCG64) and
 with `rand_core`'s seed_from_u64 expansion, see `chacha.py`), making
 corpora reproducible cross-platform from (seed, stream) with no NumPy
 bit-generator dependence.
+
+Reproducibility note: round 5 fixed the chacha8 backend's Lemire rejection
+threshold (it was dead code, leaving a ~n/2^32 modulo bias), which changes
+chacha8-generated corpora for non-power-of-two bounds versus rounds <= 4.
 """
 
 from __future__ import annotations

@@ -178,6 +178,11 @@ def find_matches(
     if config.max_matches is not None:
         # Variable-k minimal unique matches; no transform filter, like the
         # reference's MUM path (`suffix_array.rs` MatchBuilder::new(.., false)).
+        if layout != "hash":
+            raise NotImplementedError(
+                "layout variants are r=1 fixed-k only (exact.rs); the "
+                "max_matches MUM path has a single FM-index implementation"
+            )
         from .suffix_array import minimal_unique_matches
 
         return minimal_unique_matches(a, b, config.r, config.max_matches)
@@ -260,8 +265,12 @@ def _find_exact_qgram_index(ca, cb, config: MatchConfig, transform_filter: bool)
     exceeds the input size (the reference's own comment, `exact.rs:194`),
     kept as the layout A/B."""
     k = config.k
-    if 4 ** k > (1 << 28):
-        raise ValueError("qgram_index allocates a 4^k offset table; k <= 14")
+    # 4^13 + 1 int64 offsets = 512 MiB is already the ceiling this 1-core
+    # host can absorb (k=14 would be ~2 GiB plus bincount/argsort
+    # temporaries); the layout is an A/B and the reference notes it loses
+    # past input size anyway (`exact.rs:194`).
+    if 4 ** k > (1 << 26):
+        raise ValueError("qgram_index allocates a 4^k offset table; k <= 13")
     builder = MatchBuilder(ca, cb, config, transform_filter)
     starts, aq = a_qgrams(ca, k)
     off = np.zeros(4 ** k + 1, np.int64)

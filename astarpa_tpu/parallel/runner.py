@@ -67,9 +67,13 @@ class BatchStats:
     # Pairs whose CIGAR came from the direct whole-pair DT trace (no
     # checkpoint kernel, no checkpoint readback).
     direct_traces: int = 0
-    # Label of the last device kernel dispatched for this run (snapshot of
-    # the module-level LAST_KERNEL taken at dispatch time; the supported
-    # introspection surface for benches/tools).
+    # Best-effort label of the device kernel serving this run: a snapshot
+    # of the module-level LAST_KERNEL, which is written at *trace* time.
+    # Warm lru-cached jit dispatches don't re-trace (the label then reflects
+    # the most recent trace anywhere in the process), and the pipelined
+    # align_iter/cost_iter threads can interleave writes — so treat this as
+    # a diagnostic for fresh single-run introspection (the routing itself is
+    # deterministic per geometry; the snapshot is what's best-effort).
     kernel: str | None = None
 
 

@@ -77,6 +77,18 @@ def test_qgram_index_k_guard():
     a, b = generate.generate_model(100, 0.1, generate.ErrorModel.UNIFORM, seed=0)
     with pytest.raises(ValueError):
         find_matches(a, b, MatchConfig(k=15, r=1), True, layout="qgram_index")
+    # k=14 would allocate a ~2 GiB offset table on this host; guarded too.
+    with pytest.raises(ValueError):
+        find_matches(a, b, MatchConfig(k=14, r=1), True, layout="qgram_index")
+
+
+def test_layout_mum_guard():
+    # The max_matches (MUM) path has one implementation; a non-default
+    # layout must not be silently ignored there.
+    a, b = generate.generate_model(100, 0.1, generate.ErrorModel.UNIFORM, seed=0)
+    with pytest.raises(NotImplementedError):
+        find_matches(a, b, MatchConfig(k=6, r=1, max_matches=1), True,
+                     layout="csr")
 
 
 def test_layout_r2_guard():
