@@ -86,3 +86,22 @@ def test_visualizer_panels(tmp_path):
     inst.f_profile = {0: 5, 3: 9}
     img = inst.render()
     assert img.shape[0] > (len(b) // inst.d + 2)
+
+
+def test_figure_suite_smoke(tmp_path):
+    """The figure suite (scripts/figures.py — the `pa-bin/examples/*figures*`
+    role) renders every family in --small mode."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "figures", Path(__file__).parent.parent / "scripts" / "figures.py"
+    )
+    figures = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(figures)
+    # One cheap family per aligner class keeps this a smoke test.
+    for fig in ("layers", "no-matches", "local-doubling"):
+        assert figures.main(["--small", "--out", str(tmp_path), "--fig", fig]) == 0
+    assert list(tmp_path.glob("layers-gcsh/*.png"))
+    assert list(tmp_path.glob("no-matches/*.png"))
+    assert list(tmp_path.glob("local-doubling/*.png"))
