@@ -247,10 +247,14 @@ def _striped_body(
 
     @pl.when(act_ref[s, k] > 0)
     def _active_block():
-        # This block's char chunk: column c = t - base enters at slot 0
-        # (front-padded so the offset never goes negative).
+        # This block's char chunk, extended WS columns BACK: column
+        # c = t - base sits at slot tt + WS, and the top word's direct
+        # code read (column t - sc[0], up to WS columns earlier) is
+        # always resident (front-padded so the offset never goes
+        # negative).
         cax = pltpu.make_async_copy(
-            code_ref.at[p, pl.ds(FRONT + k * TB - base, TB)], axv, dma
+            code_ref.at[p, pl.ds(FRONT + k * TB - base - WS, TB + WS)],
+            axv, dma,
         )
         cax.start()
         cax.wait()
@@ -260,7 +264,6 @@ def _striped_body(
         loend = loend_ref[0, 0]
         pc = lambda x: jax.lax.population_count(x).astype(jnp.int32)
         iota = jax.lax.broadcasted_iota(jnp.int32, (WS, lanes), 0)
-        ngrp = WS // 8
         iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
 
         def run(cin_ref, cout_ref):
@@ -308,11 +311,18 @@ def _striped_body(
                 # and makes stripe 0 (garbage carry plane) correct too:
                 # stripe 0's top word is always either injection-overridden
                 # or above/below the live band.
-                up0 = (axv[tt] & U32(3)) | (cin[tt] & ~U32(3))
+                up0 = (axv[tt + WS] & U32(3)) | (cin[tt] & ~U32(3))
+                # The top word's char code, read DIRECTLY from the chunk
+                # (column t - sc[0]).  The aux chain is also the code
+                # conveyor (codes shift down one row per step), so without
+                # this the absorbed rows above the top would have to keep
+                # computing just to ferry codes to the injection; with it
+                # the group range below can skip them.
+                ctop = axv[tt + WS - jnp.clip(s_top, 0, WS)] & U32(3)
 
                 def group(up, b8):
                     sel_top = top_now & ((iota8 + b8) == s_top)
-                    auxg = jnp.where(sel_top, (up & U32(3)) | U32(4), up)
+                    auxg = jnp.where(sel_top, ctop | U32(4), up)
                     code = auxg & 3
                     hp = (auxg >> 2) & 1
                     hm = auxg >> 3
@@ -335,14 +345,40 @@ def _striped_body(
                     aux[pl.ds(b8, 8)] = code | (hp_n << 2) | (hm_n << 3)
                     return 0
 
+                # Live word range this step, from the counters the event
+                # machinery already maintains: the band inside this stripe
+                # is [sc[0]-base, sc[1]-base) (top = next-to-absorb,
+                # bottom-exclusive = next-to-enter).  Groups outside it
+                # hold absorbed or not-yet-entered words whose state
+                # nothing reads: pre-enter rows reset at their enter
+                # event (and their code/carry inputs come from the live
+                # row above at that step), rows above the top only matter
+                # through the top word's injection — whose carry is the
+                # +1 constant and whose code now reads directly from the
+                # chunk (ctop) — and a skipped bottom row's stale
+                # carry-out only ever feeds pre-enter rows downstream.
+                # This trims the stripe entry/exit ramps that the
+                # block-granular activity flags must keep: the static
+                # plan computes 1.26x the in-band word-steps at WS=512
+                # (1.51x at WS=1024) without it.
+                g_lo = jnp.maximum(sc[0] - base, 0) >> 3
+                g_hi = (jnp.minimum(sc[1] - base, WS) + 7) >> 3
+
                 def grp_body(i, c):
-                    g = (ngrp - 1) - i
+                    g = g_hi - 1 - i
                     b8 = g * 8
                     group(aux[pl.ds(b8 - 1, 8)], b8)
                     return c
 
-                jax.lax.fori_loop(0, ngrp - 1, grp_body, 0)
-                group(jnp.concatenate([up0[None], aux[pl.ds(0, 7)]], 0), 0)
+                jax.lax.fori_loop(
+                    0, g_hi - jnp.maximum(g_lo, 1), grp_body, 0
+                )
+
+                @pl.when((g_lo == 0) & (g_hi > 0))
+                def _g0():
+                    group(
+                        jnp.concatenate([up0[None], aux[pl.ds(0, 7)]], 0), 0
+                    )
 
                 # Boundary carry out: the bottom word's post-step aux row,
                 # staged 8 steps at a time (dynamic single-row writes are
@@ -517,7 +553,7 @@ def _striped_call(WS, TB, SW, ntiles, n_stripes, n_tb, T_pad, FRONT,
                 pltpu.SMEM((12,), jnp.int32),        # counters
                 pltpu.VMEM((WS, 128), jnp.uint32),   # p0v
                 pltpu.VMEM((WS, 128), jnp.uint32),   # p1v
-                pltpu.VMEM((TB, 128), jnp.uint32),   # axv (code chunk)
+                pltpu.VMEM((TB + WS, 128), jnp.uint32),  # axv (code chunk, WS back-window)
                 pltpu.VMEM((TB, 128), jnp.uint32),   # cin (carry chunk)
                 pltpu.VMEM((8, 128), jnp.uint32),    # cst8 carry staging
                 pltpu.SemaphoreType.DMA,
@@ -575,7 +611,7 @@ def _striped_ck_call(WS, TB, SW, SWP, LIVE8, ntiles, n_stripes, n_tb, T_pad,
                 pltpu.SMEM((12,), jnp.int32),        # counters
                 pltpu.VMEM((WS, 128), jnp.uint32),   # p0v
                 pltpu.VMEM((WS, 128), jnp.uint32),   # p1v
-                pltpu.VMEM((TB, 128), jnp.uint32),   # axv (code chunk)
+                pltpu.VMEM((TB + WS, 128), jnp.uint32),  # axv (code chunk, WS back-window)
                 pltpu.VMEM((TB, 128), jnp.uint32),   # cin (carry chunk)
                 pltpu.VMEM((8, 128), jnp.uint32),    # cst8 carry staging
                 pltpu.VMEM((8, 128), jnp.uint32),    # vst8 ck staging

@@ -1259,6 +1259,8 @@ class BatchAligner:
             and (B // ndev) % 128 == 0
         ):
             return "sliding"
+        if sw >= STRIPED_MIN_SW and sw % 8 == 0 and CB >= sw + 8:
+            return "striped"  # wins the whole pinned range since r5
         if (
             PINNED_ENABLED
             and PINNED_MIN_SW <= sw <= PINNED_MAX_SW
@@ -1278,19 +1280,40 @@ class BatchAligner:
         """Checkpointing-kernel dispatch: single device, or shard_map over
         the mesh's batch axis (every shard runs the Pallas ck kernel; the
         per-pair traces are host work that parallelizes across hosts).
-        Big shared bands route to the pinned checkpoint kernel (same
-        contract, ~2.3x the sliding kernel's big-band throughput); bands
-        beyond the pinned VMEM ceiling (or too tall for the sliding VMEM
-        model) route to the striped ck kernel (HBM boundary carries, no
-        ceiling — 8-aligned-top checkpoint contract)."""
+        Big shared bands route to the striped ck kernel FIRST (HBM
+        boundary carries, no VMEM band ceiling, 8-aligned-top checkpoint
+        contract — since the r5 dynamic group range it beats pinned-ck
+        across the whole band range, 0.99 vs 0.67 Tcells/s at 500kbp
+        SW=2048); the pinned ck kernel is the fallback below
+        STRIPED_MIN_SW when the sliding kernel's pairs-per-program
+        collapses."""
         import jax
 
         global LAST_KERNEL
         if self.mesh is None:
-            # Pinned routing: big shared bands always; smaller bands too
-            # when the sliding kernel's pairs-per-program collapses (tiny
-            # batches / CB-heavy VMEM) — pinned keeps full sublane tiles
-            # at ANY band height, sliding at PP<512 runs ~0.35 Tcells/s.
+            # Striped-ck routing: from the big-band entry point up (the
+            # striped kernel wins the whole former pinned range since the
+            # r5 dynamic group range: 0.99 vs pinned-ck 0.67 Tcells/s at
+            # 500kbp SW=2048 CB=16384, scripts/bench_ck_kernels.py), plus
+            # everywhere the sliding VMEM model collapses (pp < 128) or
+            # the band exceeds the pinned ceiling.
+            if (
+                (sw >= STRIPED_MIN_SW or pp < 128 or sw > PINNED_MAX_SW)
+                and self._striped_ck_ok(sw, a0.shape[1])
+                and CB >= sw + 8
+            ):
+                from ..ops.striped import striped_ck_tpu
+
+                LAST_KERNEL = "striped-ck"
+                return striped_ck_tpu(
+                    a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
+                    interpret=self.pallas_interpret, diag=diag,
+                )
+            # Pinned routing (striped fallback): big shared bands; smaller
+            # bands too when the sliding kernel's pairs-per-program
+            # collapses (tiny batches / CB-heavy VMEM) — pinned keeps full
+            # sublane tiles at ANY band height, sliding at PP<512 runs
+            # ~0.35 Tcells/s.
             pinned_band = PINNED_MIN_SW <= sw <= PINNED_MAX_SW or (
                 pp < 512 and 64 <= sw <= PINNED_MAX_SW and sw % 8 == 0
             )
@@ -1335,6 +1358,11 @@ class BatchAligner:
         kind = self._mesh_ck_kind(
             sw, a0.shape[0], pb0.shape[0], a0.shape[1], CB, pp, diag
         )
+        # Label at DISPATCH time (the trace-time writes inside the cached
+        # shard_map'd fn don't re-run on jit/lru cache hits).
+        LAST_KERNEL = {"pinned": "pinned-ck-sharded",
+                       "striped": "striped-ck-sharded"}.get(
+                           kind, "pallas-ck-sharded")
         return _sharded_ck(self.mesh, sw, CB, pp, self.pallas_interpret,
                            kind, diag)(a0, a1, pb0, pb1, n, m)
 
@@ -1659,11 +1687,12 @@ def _sharded_ck(mesh, sw: int, CB: int, pp: int, interpret: bool,
     from ..ops.pallas_banded import banded_ck_tpu
 
     def fn(a0, a1, pb0, pb1, n, m):
-        global LAST_KERNEL
+        # NB: no LAST_KERNEL writes here — this body runs only at trace
+        # time (jit + lru cache hits skip it); the dispatch-time label is
+        # set in BatchAligner._ck_kernel from the same `kind`.
         if kind == "pinned":
             from ..ops.pinned import pinned_ck_tpu
 
-            LAST_KERNEL = "pinned-ck-sharded"
             return pinned_ck_tpu(
                 a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
                 interpret=interpret, static_windows=True, diag=diag,
@@ -1671,12 +1700,10 @@ def _sharded_ck(mesh, sw: int, CB: int, pp: int, interpret: bool,
         if kind == "striped":
             from ..ops.striped import striped_ck_tpu
 
-            LAST_KERNEL = "striped-ck-sharded"
             return striped_ck_tpu(
                 a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
                 interpret=interpret, static_windows=True, diag=diag,
             )
-        LAST_KERNEL = "pallas-ck-sharded"
         return banded_ck_tpu(
             a0, a1, pb0, pb1, n, m, band_words=sw, col_block=CB,
             pairs_per_program=pp, interpret=interpret, diag=diag,
@@ -1781,12 +1808,16 @@ PINNED_MIN_SW = 640
 #: HBM-window kernel takes over).
 PINNED_MAX_SW = 2240
 #: From this band up, the striped HBM-carry kernel BEATS the pinned kernel
-#: on shared schedules and the cost path tries it first (measured same-run
-#: A/Bs, 500kbp x128, scripts/bench_striped.py: SW=1024 pinned 0.80 vs
-#: striped 0.69 Tcells/s; SW=1280 pinned 0.68 vs striped 0.75; SW=1536
-#: pinned 0.60 vs striped 0.79; SW=2048 pinned 0.67 vs striped 0.84 —
-#: the pinned time-block auto-shrink is what turns the corner).
-STRIPED_MIN_SW = 1280
+#: on shared schedules and the cost path tries it first.  Since the
+#: dynamic in-kernel group range (r5: the word walk skips absorbed /
+#: not-yet-entered groups per STEP, with the top word's char code read
+#: directly from the chunk instead of ferried through absorbed rows) the
+#: striped kernel wins the ENTIRE pinned range (measured same-run A/Bs,
+#: scripts/bench_striped.py, WS=512 TB=512: 500kbp x128 SW=768 pinned
+#: 0.79 vs striped 0.97 Tcells/s; SW=1024 0.80 vs 0.99; SW=2048 0.67 vs
+#: 1.01; 100kbp x128 SW=768 0.77 vs 0.94, full height 1.00), so the
+#: crossover sits at the big-band entry point itself.
+STRIPED_MIN_SW = 640
 #: Per-pair schedules route to the pinned kernel (ops/pinned.py per-pair
 #: mode) above this band: the sliding per-pair kernel drops to PP=128 and
 #: ~0.35 Tcells/s there, while the pinned layout keeps full tiles.  Its

@@ -112,8 +112,14 @@ def test_batch_aligner_mesh_bigband_ck(monkeypatch):
         generate.uniform_seeded(300 + 17 * s, 0.06, 40 + s) for s in range(4)
     ]
     for patch, want_kind in (
-        (dict(PINNED_MIN_SW=4, PINNED_MAX_SW=64), "pinned-ck-sharded"),
-        (dict(PINNED_MIN_SW=2, PINNED_MAX_SW=2), "striped-ck-sharded"),
+        (dict(PINNED_MIN_SW=4, PINNED_MAX_SW=64, STRIPED_MIN_SW=640),
+         "pinned-ck-sharded"),
+        (dict(PINNED_MIN_SW=2, PINNED_MAX_SW=2, STRIPED_MIN_SW=640),
+         "striped-ck-sharded"),
+        # striped-first: from STRIPED_MIN_SW up the striped ck kernel is
+        # preferred even where pinned fits (r5 routing).
+        (dict(PINNED_MIN_SW=4, PINNED_MAX_SW=64, STRIPED_MIN_SW=8),
+         "striped-ck-sharded"),
     ):
         for k, v in patch.items():
             monkeypatch.setattr(rmod, k, v)
@@ -125,6 +131,33 @@ def test_batch_aligner_mesh_bigband_ck(monkeypatch):
         for (a, b), (c, cig) in zip(pairs, res):
             assert c == oracle.levenshtein(a, b)
             assert cig.verify(a, b) == c
+
+
+def test_batch_aligner_striped_first_ck(monkeypatch):
+    """Single-device ck dispatch prefers the striped ck kernel from
+    STRIPED_MIN_SW up even where the pinned kernel fits (r5: striped wins
+    the whole former pinned range — scripts/bench_ck_kernels.py), with
+    verified CIGARs off the 8-aligned-top checkpoint contract."""
+    from astarpa_tpu import native
+    from astarpa_tpu.parallel import runner as rmod
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    monkeypatch.setattr(rmod, "STRIPED_MIN_SW", 8)
+    monkeypatch.setattr(rmod, "PINNED_MIN_SW", 4)
+    monkeypatch.setattr(rmod, "PINNED_MAX_SW", 64)
+    pairs = [
+        generate.uniform_seeded(300 + 17 * s, 0.06, 140 + s) for s in range(4)
+    ]
+    ba = BatchAligner(band_words=8, lane_multiple=128,
+                      pallas_interpret=True, domain_mode="off",
+                      direct_dt=False)
+    rmod.LAST_KERNEL = None
+    res = ba.align(pairs)
+    assert rmod.LAST_KERNEL == "striped-ck", rmod.LAST_KERNEL
+    for (a, b), (c, cig) in zip(pairs, res):
+        assert c == oracle.levenshtein(a, b)
+        assert cig.verify(a, b) == c
 
 
 @pytest.mark.slow
