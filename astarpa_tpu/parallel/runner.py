@@ -1259,8 +1259,12 @@ class BatchAligner:
             and (B // ndev) % 128 == 0
         ):
             return "sliding"
-        if sw >= STRIPED_MIN_SW and sw % 8 == 0 and CB >= sw + 8:
-            return "striped"  # wins the whole pinned range since r5
+        if (
+            (sw >= STRIPED_MIN_SW or (pp < 512 and sw >= 64))
+            and sw % 8 == 0
+            and CB >= sw + 8
+        ):
+            return "striped"  # beats pinned at every measured band (r5)
         if (
             PINNED_ENABLED
             and PINNED_MIN_SW <= sw <= PINNED_MAX_SW
@@ -1291,14 +1295,19 @@ class BatchAligner:
 
         global LAST_KERNEL
         if self.mesh is None:
-            # Striped-ck routing: from the big-band entry point up (the
-            # striped kernel wins the whole former pinned range since the
-            # r5 dynamic group range: 0.99 vs pinned-ck 0.67 Tcells/s at
-            # 500kbp SW=2048 CB=16384, scripts/bench_ck_kernels.py), plus
-            # everywhere the sliding VMEM model collapses (pp < 128) or
-            # the band exceeds the pinned ceiling.
+            # Striped-ck routing: everywhere the striped kernel can serve
+            # and the sliding kernel is collapsed or the band is big —
+            # since the r5 dynamic group range it beats pinned-ck at every
+            # measured band (0.99 vs 0.67 Tcells/s at 500kbp SW=2048
+            # CB=16384, scripts/bench_ck_kernels.py; 1.25-1.44x at
+            # SW=64-512, scripts/bench_striped.py).
             if (
-                (sw >= STRIPED_MIN_SW or pp < 128 or sw > PINNED_MAX_SW)
+                (
+                    sw >= STRIPED_MIN_SW
+                    or pp < 128
+                    or sw > PINNED_MAX_SW
+                    or (pp < 512 and sw >= 64)
+                )
                 and self._striped_ck_ok(sw, a0.shape[1])
                 and CB >= sw + 8
             ):
@@ -1807,16 +1816,19 @@ PINNED_MIN_SW = 640
 #: even at TB=256 (the kernel's own guard re-checks and the sliding
 #: HBM-window kernel takes over).
 PINNED_MAX_SW = 2240
-#: From this band up, the striped HBM-carry kernel BEATS the pinned kernel
-#: on shared schedules and the cost path tries it first.  Since the
-#: dynamic in-kernel group range (r5: the word walk skips absorbed /
-#: not-yet-entered groups per STEP, with the top word's char code read
-#: directly from the chunk instead of ferried through absorbed rows) the
-#: striped kernel wins the ENTIRE pinned range (measured same-run A/Bs,
+#: From this band up, the striped HBM-carry kernel is preferred
+#: UNCONDITIONALLY (even where the sliding kernel's pairs-per-program is
+#: healthy); below it, striped is still tried first whenever the sliding
+#: kernel collapses (pp < 512, sw >= 64).  Since the dynamic in-kernel
+#: group range (r5: the word walk skips absorbed / not-yet-entered groups
+#: per STEP, with the top word's char code read directly from the chunk
+#: instead of ferried through absorbed rows) the striped kernel beats the
+#: pinned kernel at EVERY measured shared band (same-run A/Bs,
 #: scripts/bench_striped.py, WS=512 TB=512: 500kbp x128 SW=768 pinned
 #: 0.79 vs striped 0.97 Tcells/s; SW=1024 0.80 vs 0.99; SW=2048 0.67 vs
-#: 1.01; 100kbp x128 SW=768 0.77 vs 0.94, full height 1.00), so the
-#: crossover sits at the big-band entry point itself.
+#: 1.01; 100kbp x128 SW=64/128/256/512 pinned 0.42/0.57/0.70/0.76 vs
+#: striped 0.60/0.76/0.88/0.93; full height 1.00), so pinned survives as
+#: the exception path (striped ValueError) and the per-pair kernel.
 STRIPED_MIN_SW = 640
 #: Per-pair schedules route to the pinned kernel (ops/pinned.py per-pair
 #: mode) above this band: the sliding per-pair kernel drops to PP=128 and
@@ -1841,17 +1853,24 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool,
     B = a0.shape[1]
     on_tpu = jax.default_backend() == "tpu"
     pp = _select_pp(B, sw)
-    # Pinned routing: big shared bands; smaller bands too when the
-    # sliding kernel's pairs-per-program collapses (tiny batches) — pinned
-    # keeps full sublane tiles at any band height.
+    # Pinned routing (fallback only since r5): big shared bands; smaller
+    # bands too when the sliding kernel's pairs-per-program collapses
+    # (tiny batches) — pinned keeps full sublane tiles at any band height.
     pinned_band = PINNED_MIN_SW <= sw <= PINNED_MAX_SW or (
         pp < 512 and 64 <= sw <= PINNED_MAX_SW and sw % 8 == 0
     )
-    # Striped routing: always past the pinned VMEM ceiling, and FIRST from
-    # the measured crossover (the pinned kernel's time-block auto-shrink
-    # degrades it above ~1.5k words while the striped kernel's fixed
-    # stripe overhead keeps amortizing).
-    striped_band = sw > PINNED_MAX_SW or sw >= STRIPED_MIN_SW
+    # Striped routing: the whole regime where the sliding kernel's
+    # pairs-per-program collapses, plus everything past the pinned VMEM
+    # ceiling.  Since the r5 dynamic group range the striped kernel beats
+    # pinned at EVERY measured shared band (100kbp x128, WS=512 TB=512:
+    # SW=64 0.60 vs 0.42 Tcells/s, SW=128 0.76 vs 0.57, SW=256 0.88 vs
+    # 0.70, SW=512 0.93 vs 0.76; 500kbp SW=2048 1.01 vs 0.67), so it is
+    # tried FIRST everywhere it can serve; pinned is the exception path.
+    striped_band = (
+        sw > PINNED_MAX_SW
+        or sw >= STRIPED_MIN_SW
+        or (pp < 512 and sw >= 64 and sw % 8 == 0)
+    )
 
     def _try_pinned():
         if not pinned_band:
@@ -1887,12 +1906,7 @@ def _local_cost(a0, a1, pb0, pb1, n, m, *, sw: int, interpret: bool,
         return "striped", out
 
     if PINNED_ENABLED and on_tpu and not interpret and B % 128 == 0:
-        order = (
-            (_try_striped, _try_pinned)
-            if sw >= STRIPED_MIN_SW
-            else (_try_pinned, _try_striped)
-        )
-        for attempt in order:
+        for attempt in (_try_striped, _try_pinned):
             got = attempt()
             if got is not None:
                 LAST_KERNEL, out = got

@@ -116,10 +116,9 @@ def test_batch_aligner_mesh_bigband_ck(monkeypatch):
          "pinned-ck-sharded"),
         (dict(PINNED_MIN_SW=2, PINNED_MAX_SW=2, STRIPED_MIN_SW=640),
          "striped-ck-sharded"),
-        # striped-first: from STRIPED_MIN_SW up the striped ck kernel is
-        # preferred even where pinned fits (r5 routing).
-        (dict(PINNED_MIN_SW=4, PINNED_MAX_SW=64, STRIPED_MIN_SW=8),
-         "striped-ck-sharded"),
+        # striped-first preference (STRIPED_MIN_SW and the pp<512 arm) is
+        # covered by test_mesh_ck_kind_routing_table (predicate only) and
+        # dryrun_multichip's third leg (end-to-end on the 8-device mesh).
     ):
         for k, v in patch.items():
             monkeypatch.setattr(rmod, k, v)
@@ -131,6 +130,36 @@ def test_batch_aligner_mesh_bigband_ck(monkeypatch):
         for (a, b), (c, cig) in zip(pairs, res):
             assert c == oracle.levenshtein(a, b)
             assert cig.verify(a, b) == c
+
+
+def test_mesh_ck_kind_routing_table():
+    """r5 routing predicate (no kernels run): striped is preferred
+    wherever it can serve — from STRIPED_MIN_SW up unconditionally, and
+    below it whenever the sliding kernel's pairs-per-program collapses
+    (pp < 512, sw >= 64); pinned only where striped's guards fail; the
+    sliding kind keeps small healthy-pp bands."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8])
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(devs, ("batch",))
+    ba = BatchAligner(band_words=8, lane_multiple=128, mesh=mesh,
+                      pallas_interpret=True)
+    kind = lambda sw, pp, CB=65536, B=1024: ba._mesh_ck_kind(
+        sw, 100_000, 4096, B, CB, pp
+    )
+    assert kind(2048, 64) == "striped"     # >= STRIPED_MIN_SW
+    assert kind(4096, 64) == "striped"     # > PINNED_MAX_SW
+    assert kind(512, 128) == "striped"     # collapse arm (pp<512, sw>=64)
+    assert kind(64, 128) == "striped"      # collapse arm lower edge
+    assert kind(32, 128) == "sliding"      # sw < 64: striped/pinned out
+    assert kind(512, 512) == "sliding"     # healthy pp, below MIN_SW
+    # striped's own guards fail -> pinned where it fits, else sliding.
+    assert kind(1024, 64, CB=1024) == "pinned"   # CB < sw+8
+    assert kind(644, 64, CB=65536) == "pinned"   # sw % 8 != 0
+    assert kind(644, 64, CB=512) == "sliding"    # neither big-band kind
 
 
 def test_batch_aligner_striped_first_ck(monkeypatch):
