@@ -21,14 +21,15 @@ below ``LAST_KERNEL``):
 geometry                     kernel
 ===========================  =================================================
 band < 640 words, PP >= 512  sliding pairs-tile (`ops/pallas_banded`) — batch
-                             amortization wins at small bands
-band in [640, 2240] words    pinned words-on-sublanes (`ops/pinned`) — flat
-(or any band >= 64 when      throughput in band height; VMEM residency guard
-PP < 512)                    with TB auto-shrink 1024->512->256, sliding on
-                             overflow
-band > 2240 words, or the    striped HBM boundary-carry (`ops/striped`) — no
-sliding/pinned VMEM models   band ceiling (full-height exact DP); ck under the
-fail (ck: PP < 128)          8-aligned-top plane contract
+                             amortization wins at small healthy-pp bands
+band >= 640 words, or any    striped HBM boundary-carry (`ops/striped`) — no
+band >= 64 when PP < 512     band ceiling (full-height exact DP), FIRST choice
+                             since r5 (beats pinned at every measured band);
+                             ck under the 8-aligned-top plane contract
+striped guards fail (sw%8,   pinned words-on-sublanes (`ops/pinned`) — flat
+CB < SW+8, B%128) and band   throughput in band height; VMEM residency guard
+in [64, 2240] with PP < 512  with TB auto-shrink 1024->512->256, sliding on
+or band in [640, 2240]       overflow
 per-pair (domain) schedules  same ladder with per-pair modes: sliding per-pair
                              below 512 words, pinned-pp above (event streams),
                              jnp fallback off-TPU
@@ -43,6 +44,9 @@ variants; under a mesh every shard runs the selected kernel via
 from __future__ import annotations
 
 import functools
+import os
+import sys
+import time as _time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -51,6 +55,17 @@ from ..types import Cigar
 from ..ops.bitpack import W, n_words
 
 INF = 1 << 30
+
+#: ASTARPA_STREAM_PROF=1: per-phase stderr lines for the streaming
+#: runners (pack / dispatch / certify-sync / stage / flush-wait) — the
+#: align_iter sibling of ASTARPA_TRACE_PROF.  Diagnostic only.
+_STREAM_PROF = os.environ.get("ASTARPA_STREAM_PROF", "") == "1"
+
+
+def _sprof(msg: str) -> None:
+    if _STREAM_PROF:
+        print(f"[sprof {_time.perf_counter():.3f}] {msg}", file=sys.stderr,
+              flush=True)
 
 # Certified-cost ceiling for direct whole-pair DT traces — must not exceed
 # the native burst budget (native.DIRECT_DT_MAX; trace_direct asserts).
@@ -1056,9 +1071,13 @@ class BatchAligner:
                     flush_fut = ex.submit(
                         self._flush_traces, prev[3], prev[0], prev[1]
                     )
+                t0 = _time.perf_counter()
                 cur = (cur_pairs, *self._align_dispatch(cur_pairs))
+                _sprof(f"align_dispatch {_time.perf_counter()-t0:.3f}s")
                 if prev is not None:
+                    t0 = _time.perf_counter()
                     flush_fut.result()
+                    _sprof(f"flush-wait {_time.perf_counter()-t0:.3f}s")
                     yield prev[1], prev[2]
                 prev = cur
                 cur_pairs = nxt_pairs
@@ -1086,6 +1105,7 @@ class BatchAligner:
         try:
             while True:
                 if packed is None or 2 * len(pending) <= len(packed[2]):
+                    t0 = _time.perf_counter()
                     bucket_pairs = [pairs[i] for i in pending]
                     args, B0 = pack_batch_staggered(
                         bucket_pairs, self._pack_multiple(for_ck=True),
@@ -1093,6 +1113,7 @@ class BatchAligner:
                     )
                     args = self._shard(args)
                     packed = (args, B0, list(pending))
+                    _sprof(f"pack B0={B0} {_time.perf_counter()-t0:.3f}s")
                 args, B0, members = packed
                 a0, a1, pb0, pb1, n, m = args
                 n_max, S = a0.shape[0], pb0.shape[0]
@@ -1123,6 +1144,7 @@ class BatchAligner:
                         np.asarray(n)[:B0].max() + np.asarray(m)[:B0].max()
                     )
                 direct = self.direct_dt and direct_cap <= _DIRECT_DT_MAX
+                t0 = _time.perf_counter()
                 if direct:
                     got = self._kernel(a0, a1, pb0, pb1, n, m, sw, S, diag)
                     CB = 0
@@ -1155,6 +1177,9 @@ class BatchAligner:
                     )
                 stats.cells_computed += n_max * sw * W * len(members)
                 stats.kernel = LAST_KERNEL
+                _sprof(f"dispatch sw={sw} direct={direct} "
+                       f"{_time.perf_counter()-t0:.3f}s")
+                t0 = _time.perf_counter()
                 # Optimistic readback: start streaming every member lane's
                 # checkpoints BEFORE the certification sync — the transfers
                 # hide the cost-readback latency, and the common case (a
@@ -1175,6 +1200,8 @@ class BatchAligner:
                             copy()
                         opt_chunks = _stage_ck_chunks(ckvp, ckvm, cktv, lanes)
                 costs = np.asarray(got)[:B0]
+                _sprof(f"certify-sync {_time.perf_counter()-t0:.3f}s")
+                t0 = _time.perf_counter()
                 if sw >= S:
                     ok = np.ones(B0, dtype=bool)
                 else:
@@ -1217,6 +1244,8 @@ class BatchAligner:
                             shift=shift, s_words=S, sw=sw, cb=CB,
                             want=int(costs[slot]),
                         ))
+                _sprof(f"stage jobs={len(sel)} "
+                       f"{_time.perf_counter()-t0:.3f}s")
                 need_max = self._note_need(need_max, costs, sel, n, m, B0,
                                            diag)
                 pending = next_pending

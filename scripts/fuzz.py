@@ -17,6 +17,16 @@ import random
 import sys
 import traceback
 
+# The fuzzer always runs the interpret/CPU paths — never the TPU tunnel
+# (batch modes would otherwise eagerly dispatch jnp prep ops through the
+# ~150ms/call axon link and appear hung).  This environment's
+# sitecustomize imports jax at interpreter start with JAX_PLATFORMS=axon
+# already latched, so mutating os.environ here is too late — pin the
+# platform through the live config instead (see tests/conftest.py).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, ".")
 
 from astarpa_tpu import generate, oracle  # noqa: E402
@@ -97,19 +107,28 @@ def build(name: str):
         elif name == "batch-bigband":
             kw.update(band_words=8, direct_dt=False)
             state = {"flip": 0}
+            # Rotate the three big-band routings per call: pinned rung
+            # geometry, striped via the pinned-out fallback, and the r5
+            # striped-FIRST preference (STRIPED_MIN_SW shrunk below the
+            # band so the primary arm dispatches striped-ck).
+            patches = (
+                dict(PINNED_MIN_SW=4, PINNED_MAX_SW=64, STRIPED_MIN_SW=640),
+                dict(PINNED_MIN_SW=2, PINNED_MAX_SW=2, STRIPED_MIN_SW=640),
+                dict(PINNED_MIN_SW=4, PINNED_MAX_SW=64, STRIPED_MIN_SW=8),
+            )
 
             def bigband_align(a, b):
-                state["flip"] ^= 1
-                # pinned rung geometry one call, striped the next.
-                saved = (rmod.PINNED_MIN_SW, rmod.PINNED_MAX_SW)
-                rmod.PINNED_MIN_SW, rmod.PINNED_MAX_SW = (
-                    (4, 64) if state["flip"] else (2, 2)
-                )
+                patch = patches[state["flip"]]
+                state["flip"] = (state["flip"] + 1) % len(patches)
+                saved = {k: getattr(rmod, k) for k in patch}
+                for k, v in patch.items():
+                    setattr(rmod, k, v)
                 try:
                     ba = BatchAligner(**kw)
                     return ba.align([(a, b)])[0]
                 finally:
-                    rmod.PINNED_MIN_SW, rmod.PINNED_MAX_SW = saved
+                    for k, v in saved.items():
+                        setattr(rmod, k, v)
 
             return bigband_align
         ba = BatchAligner(**kw)
