@@ -196,7 +196,12 @@ def pack_batch_staggered(pairs, lane_multiple: int = 512,
             jnp.asarray(a4), jnp.asarray(pb0pm), jnp.asarray(pb1pm),
             n_max=n_max,
         )
-        return (a0, a1, pb0, pb1, jnp.asarray(ns), jnp.asarray(ms)), B0
+        # ns/ms stay HOST-resident numpy: the runner reads them per rung
+        # (_diag, band_threshold, direct_cap) and a device-resident copy
+        # costs a ~35ms tunnel round-trip per np.asarray — measured ~40%
+        # of the 10kbp align_iter steady-state period.  Kernel dispatches
+        # auto-upload them (16KB, the fast direction).
+        return (a0, a1, pb0, pb1, ns, ms), B0
 
     acodes = np.zeros((B, n_max), dtype=np.uint8)
     bcodes = np.full((B, S * bitpack.W), 0xFF, dtype=np.uint8)  # pad char
@@ -206,7 +211,7 @@ def pack_batch_staggered(pairs, lane_multiple: int = 512,
     # Bit-plane math runs on device (uint8 codes upload 4x less data than
     # uint32 planes, and the transposes are free there).
     a0, a1, pb0, pb1 = _pack_planes(acodes, bcodes, S)
-    return (a0, a1, pb0, pb1, jnp.asarray(ns), jnp.asarray(ms)), B0
+    return (a0, a1, pb0, pb1, ns, ms), B0
 
 
 @functools.partial(jax.jit, static_argnames=("n_max",))

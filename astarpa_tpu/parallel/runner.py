@@ -997,6 +997,15 @@ class BatchAligner:
         stages every certified pair's checkpoint readback (async copies in
         flight), but does NOT drain the traces.  Returns
         ``(results, stats, trace_jobs)``; the caller owns the flush."""
+        return self._align_dispatch_finish(self._align_dispatch_start(pairs))
+
+    def _align_dispatch_start(self, pairs):
+        """Pack + dispatch the FIRST rung of every non-domain bucket
+        asynchronously (cost-vector copies in flight, nothing synced);
+        domain-mode buckets defer whole to finish time with their gcsh
+        builds prefetched.  ``align_iter`` starts the next batch here
+        while the previous batch's rungs are still in flight — the
+        align-path sibling of :meth:`_cost_dispatch`."""
         stats = BatchStats(pairs=len(pairs))
         results: list = [None] * len(pairs)
         todo: list[int] = []
@@ -1005,24 +1014,51 @@ class BatchAligner:
                 results[idx] = (len(a) + len(b), _trivial_cigar(a, b))
             else:
                 todo.append(idx)
-        outc = np.full(len(pairs), -1, dtype=np.int64)
         # One deferred trace list across ALL buckets: bucket k's traces and
         # chunk transfers drain behind bucket k+1's pack/dispatch instead of
         # blocking it.
         trace_jobs: list = []
+        jobs = []
         try:
             for bucket in _buckets(pairs, todo):
                 stats.buckets += 1
-                mode = self._resolve_domain_mode(pairs, bucket, want_cigars=True)
+                mode = self._resolve_domain_mode(pairs, bucket,
+                                                 want_cigars=True)
+                if mode:
+                    if mode == "gcsh":
+                        # Builds start NOW on the background thread; the
+                        # ladder (run at finish time) pops them.
+                        self._prefetch_domains(pairs, want_cigars=True)
+                    jobs.append((mode, bucket, None, None))
+                else:
+                    lad = self._new_align_ladder(pairs, bucket)
+                    rung = self._align_rung_start(pairs, lad, stats,
+                                                  trace_jobs, results)
+                    jobs.append((None, bucket, lad, rung))
+        except BaseException:
+            self._flush_traces(trace_jobs, pairs, results)
+            raise
+        return pairs, results, stats, trace_jobs, jobs
+
+    def _align_dispatch_finish(self, state):
+        """Certify + stage every in-flight rung from
+        :meth:`_align_dispatch_start` (running any retry rungs and
+        domain-mode ladders synchronously) and return
+        ``(results, stats, trace_jobs)``; the caller owns the flush."""
+        pairs, results, stats, trace_jobs, jobs = state
+        outc = np.full(len(pairs), -1, dtype=np.int64)
+        try:
+            for mode, bucket, lad, rung in jobs:
                 if mode:
                     self._domain_ladder(
-                        pairs, bucket, outc, stats, results=results, mode=mode,
-                        trace_jobs=trace_jobs,
+                        pairs, bucket, outc, stats, results=results,
+                        mode=mode, trace_jobs=trace_jobs,
                     )
                 else:
-                    self._align_bucket_ck(
-                        pairs, bucket, results, stats, trace_jobs=trace_jobs
-                    )
+                    while rung is not None:
+                        rung = self._align_rung_finish(
+                            pairs, results, stats, lad, rung, trace_jobs
+                        )
         except BaseException:
             # Leave no staged-but-undrained jobs behind on the error path.
             self._flush_traces(trace_jobs, pairs, results)
@@ -1055,210 +1091,273 @@ class BatchAligner:
                 yield self.align_with_stats(pairs)
             return
 
-        prev = None  # (pairs, results, stats, trace_jobs)
+        # Three-stage software pipeline: dispatch_start(k+1) runs BEFORE
+        # finish(k) syncs — batch k's kernel + cost-vector transfer ride
+        # the link while batch k+1 packs (the align-path analog of
+        # cost_iter's split-rung ladder) — and flush(k) traces on a side
+        # thread under dispatch_start(k+2)/finish(k+1).  Yields trail the
+        # input by up to two batches.
+        started = None    # (pairs, state) dispatched, not certified
+        flushing = None   # (results, stats, fut)
         it = iter(batches)
         sentinel = object()
-        cur_pairs = next(it, sentinel)
         with ThreadPoolExecutor(1) as ex:
-            flush_fut = None
-            while cur_pairs is not sentinel:
-                nxt_pairs = next(it, sentinel)
-                if nxt_pairs is not sentinel:
-                    # Next batch's gcsh domain builds overlap this batch's
-                    # device waits (GIL-released on both sides).
-                    self._prefetch_domains(nxt_pairs, want_cigars=True)
-                if prev is not None:
-                    flush_fut = ex.submit(
-                        self._flush_traces, prev[3], prev[0], prev[1]
-                    )
+            nxt = next(it, sentinel)
+            while nxt is not sentinel:
                 t0 = _time.perf_counter()
-                cur = (cur_pairs, *self._align_dispatch(cur_pairs))
-                _sprof(f"align_dispatch {_time.perf_counter()-t0:.3f}s")
-                if prev is not None:
+                cur = (nxt, self._align_dispatch_start(nxt))
+                _sprof(f"align_start {_time.perf_counter()-t0:.3f}s")
+                nxt = next(it, sentinel)
+                if started is not None:
+                    p_pairs, p_state = started
                     t0 = _time.perf_counter()
-                    flush_fut.result()
-                    _sprof(f"flush-wait {_time.perf_counter()-t0:.3f}s")
-                    yield prev[1], prev[2]
-                prev = cur
-                cur_pairs = nxt_pairs
-            if prev is not None:
-                self._flush_traces(prev[3], prev[0], prev[1])
-                yield prev[1], prev[2]
+                    results, stats, trace_jobs = self._align_dispatch_finish(
+                        p_state
+                    )
+                    _sprof(f"align_finish {_time.perf_counter()-t0:.3f}s")
+                    if flushing is not None:
+                        t0 = _time.perf_counter()
+                        flushing[2].result()
+                        _sprof(f"flush-wait {_time.perf_counter()-t0:.3f}s")
+                        yield flushing[0], flushing[1]
+                    flushing = (results, stats, ex.submit(
+                        self._flush_traces, trace_jobs, p_pairs, results
+                    ))
+                started = cur
+            if started is not None:
+                p_pairs, p_state = started
+                results, stats, trace_jobs = self._align_dispatch_finish(
+                    p_state
+                )
+                if flushing is not None:
+                    flushing[2].result()
+                    yield flushing[0], flushing[1]
+                self._flush_traces(trace_jobs, p_pairs, results)
+                yield results, stats
 
     def _align_bucket_ck(self, pairs, idxs, results, stats,
                          trace_jobs: list | None = None) -> None:
-        from ..ops import banded
-        from ..ops.pallas_myers import pack_batch_staggered
-
-        cls = self._bucket_class([pairs[i] for i in idxs])
-        # Hint replaces the configured start band (see _run_bucket).
-        band = self._band_hints.get(cls) or self.band_words
-        need_max = 1
-        pending = idxs
-        attempt = 0
         # Caller-owned job list = traces drain after ALL buckets dispatch;
         # local list = drain on return (standalone use).
         flush_here = trace_jobs is None
         if flush_here:
             trace_jobs = []
-        packed = None  # reused across rungs (see _run_bucket)
         try:
-            while True:
-                if packed is None or 2 * len(pending) <= len(packed[2]):
-                    t0 = _time.perf_counter()
-                    bucket_pairs = [pairs[i] for i in pending]
-                    args, B0 = pack_batch_staggered(
-                        bucket_pairs, self._pack_multiple(for_ck=True),
-                        shape_quantum=self._shape_quantum(bucket_pairs),
-                    )
-                    args = self._shard(args)
-                    packed = (args, B0, list(pending))
-                    _sprof(f"pack B0={B0} {_time.perf_counter()-t0:.3f}s")
-                args, B0, members = packed
-                a0, a1, pb0, pb1, n, m = args
-                n_max, S = a0.shape[0], pb0.shape[0]
-                diag = self._diag(n, m, B0, n_max, S)
-                sw = min(band, S)
-                if S > max(n_max, 1) or attempt >= self.max_band_doublings:
-                    sw = S
-                if sw > 64:
-                    sw = min(-(-sw // 8) * 8, S)
-                ndev = 1 if self.mesh is None else self.mesh.devices.size
-                thr = None
-                if sw < S:
-                    thr = banded.band_threshold(
-                        sw, np.asarray(n)[:B0], np.asarray(m)[:B0], *diag
-                    )
-                # Direct-DT rung: every pair certifying at this rung has
-                # cost <= thr <= the native backward-burst budget, so the
-                # host trace recovers its whole path from the certified
-                # cost alone (one DT burst landing on the exact column-0
-                # values).  The rung then runs the plain COST kernel and
-                # zero checkpoint bytes cross the device->host link.
-                # Full-height rungs (thr None) are exact, so n+m bounds
-                # their certified costs.
-                if thr is not None:
-                    direct_cap = int(thr.max())
-                else:
-                    direct_cap = int(
-                        np.asarray(n)[:B0].max() + np.asarray(m)[:B0].max()
-                    )
-                direct = self.direct_dt and direct_cap <= _DIRECT_DT_MAX
-                t0 = _time.perf_counter()
-                if direct:
-                    got = self._kernel(a0, a1, pb0, pb1, n, m, sw, S, diag)
-                    CB = 0
-                else:
-                    # DT bursts make long checkpoint intervals cheap, and
-                    # the device->host readback shrinks with 1/CB.
-                    CB = self._cb(sw, n_max)
-                    pp = _select_pp(
-                        a0.shape[1] // ndev, sw, max_pp=1024, cb=CB
-                    )
-                    if pp < 128:
-                        if self.mesh is None:
-                            big_ok = self._striped_ck_ok(sw, a0.shape[1])
-                        else:
-                            big_ok = self._mesh_ck_kind(
-                                sw, n_max, S, a0.shape[1], CB, pp, diag
-                            ) != "sliding"
-                        if not big_ok:
-                            # Band too tall for every ck kernel (sliding
-                            # VMEM model fails and no big-band layout can
-                            # serve): finish the remaining pairs on the
-                            # cost ladder + trace fallback.
-                            self._flush_traces(trace_jobs, pairs, results)
-                            sub = np.full(len(pairs), -1, dtype=np.int64)
-                            self._run_bucket(pairs, pending, sub, stats)
-                            self._trace_bucket(pairs, pending, sub, results)
-                            return
-                    got, ckvp, ckvm, cktv = self._ck_kernel(
-                        a0, a1, pb0, pb1, n, m, sw, CB, pp, diag
-                    )
-                stats.cells_computed += n_max * sw * W * len(members)
-                stats.kernel = LAST_KERNEL
-                _sprof(f"dispatch sw={sw} direct={direct} "
-                       f"{_time.perf_counter()-t0:.3f}s")
-                t0 = _time.perf_counter()
-                # Optimistic readback: start streaming every member lane's
-                # checkpoints BEFORE the certification sync — the transfers
-                # hide the cost-readback latency, and the common case (a
-                # predicted rung certifies everything) needs them all.  A
-                # failed rung wastes at most _OPT_READBACK_BYTES of link.
-                lanes = len(members)
-                opt_chunks = None
-                if not direct:
-                    per_lane = 4 * (
-                        int(ckvp.size) + int(ckvm.size) + int(cktv.size)
-                    ) // max(1, int(ckvp.shape[2]))
-                    if per_lane * lanes <= _OPT_READBACK_BYTES:
-                        # Queue the (tiny) cost vector's copy FIRST so
-                        # certification isn't stuck behind megabytes of
-                        # checkpoint bytes on the link.
-                        copy = getattr(got, "copy_to_host_async", None)
-                        if copy is not None:
-                            copy()
-                        opt_chunks = _stage_ck_chunks(ckvp, ckvm, cktv, lanes)
-                costs = np.asarray(got)[:B0]
-                _sprof(f"certify-sync {_time.perf_counter()-t0:.3f}s")
-                t0 = _time.perf_counter()
-                if sw >= S:
-                    ok = np.ones(B0, dtype=bool)
-                else:
-                    ok = costs <= thr
-                pending_set = set(pending)
-                sel = [slot for slot, i in enumerate(members)
-                       if i in pending_set and ok[slot]]
-                fail_slots = [slot for slot, i in enumerate(members)
-                              if i in pending_set and not ok[slot]]
-                next_pending = [members[slot] for slot in fail_slots]
-                if sel and direct:
-                    shift = banded.shift_at_array(n_max, S, sw, diag)
-                    stats.direct_traces += len(sel)
-                    for slot in sel:
-                        trace_jobs.append(_TraceJob(
-                            pair=members[slot], slices=None, pos=0,
-                            shift=shift, s_words=S, sw=sw, cb=0,
-                            want=int(costs[slot]),
-                        ))
-                elif sel:
-                    # Defer the traces until the whole ladder has dispatched;
-                    # the staged chunk copies stream behind the thread-pooled
-                    # traces at flush time.  When the optimistic copies were
-                    # not issued (big buffers), gather only certified lanes —
-                    # the host link is the scarce resource.
-                    shift = banded.shift_at_array(n_max, S, sw, diag)
-                    if opt_chunks is None:
-                        sel_arr = np.asarray(sel)
-                        chunks = _stage_ck_chunks(
-                            ckvp[:, :, sel_arr], ckvm[:, :, sel_arr],
-                            cktv[:, sel_arr], len(sel),
-                        )
-                    else:
-                        chunks = opt_chunks
-                    for pos, slot in enumerate(sel):
-                        p = slot if opt_chunks is not None else pos
-                        c0, sl = _chunk_of(chunks, p)
-                        trace_jobs.append(_TraceJob(
-                            pair=members[slot], slices=sl, pos=p - c0,
-                            shift=shift, s_words=S, sw=sw, cb=CB,
-                            want=int(costs[slot]),
-                        ))
-                _sprof(f"stage jobs={len(sel)} "
-                       f"{_time.perf_counter()-t0:.3f}s")
-                need_max = self._note_need(need_max, costs, sel, n, m, B0,
-                                           diag)
-                pending = next_pending
-                if not pending:
-                    self._band_hints[cls] = need_max
-                    return
-                assert sw < S, "full-height window must certify every pair"
-                stats.band_retries += 1
-                band = self._next_band(band, costs, fail_slots, n, m, B0, diag)
-                attempt += 1
+            lad = self._new_align_ladder(pairs, idxs)
+            rung = self._align_rung_start(pairs, lad, stats, trace_jobs,
+                                          results)
+            while rung is not None:
+                rung = self._align_rung_finish(pairs, results, stats, lad,
+                                               rung, trace_jobs)
         finally:
             if flush_here:
                 self._flush_traces(trace_jobs, pairs, results)
+
+    def _new_align_ladder(self, pairs, idxs: list[int]) -> dict:
+        """Fresh band-ladder state for one CIGAR bucket — the align-path
+        sibling of :meth:`_new_ladder` (hint replaces the configured start
+        band; ``packed`` is reused across rungs)."""
+        cls = self._bucket_class([pairs[i] for i in idxs])
+        return dict(
+            cls=cls,
+            band=self._band_hints.get(cls) or self.band_words,
+            need_max=1,
+            pending=list(idxs),
+            attempt=0,
+            packed=None,
+        )
+
+    def _align_rung_start(self, pairs, lad: dict, stats: BatchStats,
+                          trace_jobs: list, results) -> dict | None:
+        """Pack (if the pending set shrank) + dispatch ONE align rung
+        ASYNCHRONOUSLY: the cost vector's device->host copy (and, on the
+        ck path, the optimistic checkpoint chunk copies) are issued here,
+        but nothing syncs — ``align_iter`` packs and dispatches the next
+        batch while this rung is in flight; :meth:`_align_rung_finish`
+        certifies and stages the traces.  Returns ``None`` when the
+        bucket was completed on the cost-ladder fallback (no ck kernel
+        fits the geometry)."""
+        from ..ops import banded
+        from ..ops.pallas_myers import pack_batch_staggered
+
+        if lad["packed"] is None or 2 * len(lad["pending"]) <= len(
+            lad["packed"][2]
+        ):
+            t0 = _time.perf_counter()
+            bucket_pairs = [pairs[i] for i in lad["pending"]]
+            args, B0 = pack_batch_staggered(
+                bucket_pairs, self._pack_multiple(for_ck=True),
+                shape_quantum=self._shape_quantum(bucket_pairs),
+            )
+            args = self._shard(args)
+            lad["packed"] = (args, B0, list(lad["pending"]))
+            _sprof(f"pack B0={B0} {_time.perf_counter()-t0:.3f}s")
+        args, B0, members = lad["packed"]
+        a0, a1, pb0, pb1, n, m = args
+        n_max, S = a0.shape[0], pb0.shape[0]
+        diag = self._diag(n, m, B0, n_max, S)
+        sw = min(lad["band"], S)
+        if S > max(n_max, 1) or lad["attempt"] >= self.max_band_doublings:
+            sw = S
+        if sw > 64:
+            sw = min(-(-sw // 8) * 8, S)
+        ndev = 1 if self.mesh is None else self.mesh.devices.size
+        thr = None
+        if sw < S:
+            thr = banded.band_threshold(
+                sw, np.asarray(n)[:B0], np.asarray(m)[:B0], *diag
+            )
+        # Direct-DT rung: every pair certifying at this rung has cost <=
+        # thr <= the native backward-burst budget, so the host trace
+        # recovers its whole path from the certified cost alone (one DT
+        # burst landing on the exact column-0 values).  The rung then
+        # runs the plain COST kernel and zero checkpoint bytes cross the
+        # device->host link.  Full-height rungs (thr None) are exact, so
+        # n+m bounds their certified costs.
+        if thr is not None:
+            direct_cap = int(thr.max())
+        else:
+            direct_cap = int(
+                np.asarray(n)[:B0].max() + np.asarray(m)[:B0].max()
+            )
+        direct = self.direct_dt and direct_cap <= _DIRECT_DT_MAX
+        t0 = _time.perf_counter()
+        opt_chunks = None
+        ckvp = ckvm = cktv = None
+        if direct:
+            got = self._kernel(a0, a1, pb0, pb1, n, m, sw, S, diag)
+            CB = 0
+            # Start the cost vector's copy NOW: the certify sync then
+            # costs ~nothing once the next batch's pack has hidden the
+            # kernel+link latency.
+            copy = getattr(got, "copy_to_host_async", None)
+            if copy is not None:
+                copy()
+        else:
+            # DT bursts make long checkpoint intervals cheap, and the
+            # device->host readback shrinks with 1/CB.
+            CB = self._cb(sw, n_max)
+            pp = _select_pp(a0.shape[1] // ndev, sw, max_pp=1024, cb=CB)
+            if pp < 128:
+                if self.mesh is None:
+                    big_ok = self._striped_ck_ok(sw, a0.shape[1])
+                else:
+                    big_ok = self._mesh_ck_kind(
+                        sw, n_max, S, a0.shape[1], CB, pp, diag
+                    ) != "sliding"
+                if not big_ok:
+                    # Band too tall for every ck kernel (sliding VMEM
+                    # model fails and no big-band layout can serve):
+                    # finish the remaining pairs on the cost ladder +
+                    # trace fallback.
+                    self._flush_traces(trace_jobs, pairs, results)
+                    sub = np.full(len(pairs), -1, dtype=np.int64)
+                    self._run_bucket(pairs, lad["pending"], sub, stats)
+                    self._trace_bucket(pairs, lad["pending"], sub, results)
+                    return None
+            got, ckvp, ckvm, cktv = self._ck_kernel(
+                a0, a1, pb0, pb1, n, m, sw, CB, pp, diag
+            )
+            # Optimistic readback: start streaming every member lane's
+            # checkpoints BEFORE the certification sync — the transfers
+            # hide the cost-readback latency, and the common case (a
+            # predicted rung certifies everything) needs them all.  A
+            # failed rung wastes at most _OPT_READBACK_BYTES of link.
+            lanes = len(members)
+            per_lane = 4 * (
+                int(ckvp.size) + int(ckvm.size) + int(cktv.size)
+            ) // max(1, int(ckvp.shape[2]))
+            if per_lane * lanes <= _OPT_READBACK_BYTES:
+                # Queue the (tiny) cost vector's copy FIRST so
+                # certification isn't stuck behind megabytes of
+                # checkpoint bytes on the link.
+                copy = getattr(got, "copy_to_host_async", None)
+                if copy is not None:
+                    copy()
+                opt_chunks = _stage_ck_chunks(ckvp, ckvm, cktv, lanes)
+        stats.cells_computed += n_max * sw * W * len(members)
+        stats.kernel = LAST_KERNEL
+        _sprof(f"dispatch sw={sw} direct={direct} "
+               f"{_time.perf_counter()-t0:.3f}s")
+        return dict(
+            got=got, ckvp=ckvp, ckvm=ckvm, cktv=cktv, opt_chunks=opt_chunks,
+            direct=direct, sw=sw, S=S, thr=thr, diag=diag, CB=CB,
+            n_max=n_max,
+        )
+
+    def _align_rung_finish(self, pairs, results, stats: BatchStats,
+                           lad: dict, rung: dict,
+                           trace_jobs: list) -> dict | None:
+        """Sync + certify one in-flight align rung, stage its certified
+        pairs' trace jobs, and return the next in-flight rung (retry at a
+        wider band) or ``None`` when the bucket is done."""
+        from ..ops import banded
+
+        args, B0, members = lad["packed"]
+        _a0, _a1, _pb0, _pb1, n, m = args
+        sw, S, thr, diag, CB = (rung["sw"], rung["S"], rung["thr"],
+                                rung["diag"], rung["CB"])
+        direct, opt_chunks, n_max = (rung["direct"], rung["opt_chunks"],
+                                     rung["n_max"])
+        t0 = _time.perf_counter()
+        costs = np.asarray(rung["got"])[:B0]
+        _sprof(f"certify-sync {_time.perf_counter()-t0:.3f}s")
+        t0 = _time.perf_counter()
+        if sw >= S:
+            ok = np.ones(B0, dtype=bool)
+        else:
+            ok = costs <= thr
+        pending_set = set(lad["pending"])
+        sel = [slot for slot, i in enumerate(members)
+               if i in pending_set and ok[slot]]
+        fail_slots = [slot for slot, i in enumerate(members)
+                      if i in pending_set and not ok[slot]]
+        next_pending = [members[slot] for slot in fail_slots]
+        if sel and direct:
+            shift = banded.shift_at_array(n_max, S, sw, diag)
+            stats.direct_traces += len(sel)
+            for slot in sel:
+                trace_jobs.append(_TraceJob(
+                    pair=members[slot], slices=None, pos=0,
+                    shift=shift, s_words=S, sw=sw, cb=0,
+                    want=int(costs[slot]),
+                ))
+        elif sel:
+            # Defer the traces until the whole ladder has dispatched; the
+            # staged chunk copies stream behind the thread-pooled traces
+            # at flush time.  When the optimistic copies were not issued
+            # (big buffers), gather only certified lanes — the host link
+            # is the scarce resource.
+            shift = banded.shift_at_array(n_max, S, sw, diag)
+            if opt_chunks is None:
+                sel_arr = np.asarray(sel)
+                chunks = _stage_ck_chunks(
+                    rung["ckvp"][:, :, sel_arr], rung["ckvm"][:, :, sel_arr],
+                    rung["cktv"][:, sel_arr], len(sel),
+                )
+            else:
+                chunks = opt_chunks
+            for pos, slot in enumerate(sel):
+                p = slot if opt_chunks is not None else pos
+                c0, sl = _chunk_of(chunks, p)
+                trace_jobs.append(_TraceJob(
+                    pair=members[slot], slices=sl, pos=p - c0,
+                    shift=shift, s_words=S, sw=sw, cb=CB,
+                    want=int(costs[slot]),
+                ))
+        _sprof(f"stage jobs={len(sel)} {_time.perf_counter()-t0:.3f}s")
+        lad["need_max"] = self._note_need(lad["need_max"], costs, sel, n, m,
+                                          B0, diag)
+        lad["pending"] = next_pending
+        if not next_pending:
+            self._band_hints[lad["cls"]] = lad["need_max"]
+            return None
+        assert sw < S, "full-height window must certify every pair"
+        stats.band_retries += 1
+        lad["band"] = self._next_band(lad["band"], costs, fail_slots, n, m,
+                                      B0, diag)
+        lad["attempt"] += 1
+        return self._align_rung_start(pairs, lad, stats, trace_jobs, results)
 
     def _striped_ck_ok(self, sw: int, B: int) -> bool:
         """Can the striped ck kernel (HBM-resident state, no VMEM band
