@@ -158,12 +158,18 @@ def main() -> None:
     from astarpa_tpu.parallel.runner import BatchAligner
 
     cig_batch = 2048
+    extra = generate.generate_batch(
+        cig_batch, N, E, generate.ErrorModel.UNIFORM, seed=43
+    )
+    # 5 batches: the r5 align pipeline is depth 2 (dispatch_start(k+1)
+    # precedes finish(k); yields trail by two batches), so a 3-batch
+    # stream has a single thin mid-stream period sample.
     cig_batches = [
         pairs[:cig_batch],
         pairs[cig_batch:],
-        generate.generate_batch(
-            cig_batch, N, E, generate.ErrorModel.UNIFORM, seed=43
-        ),
+        extra,
+        pairs[:cig_batch],
+        extra,
     ]
     ba = BatchAligner(band_words=BAND_WORDS, lane_multiple=cig_batch)
     ba.align(cig_batches[0])  # compile/warm
